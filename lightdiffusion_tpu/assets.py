@@ -1,0 +1,103 @@
+"""Asset path resolution: checkpoints, LoRAs, embeddings, tokenizer data.
+
+Mirrors the reference's ``folder_names_and_paths`` registry
+(/root/reference/LightDiffusion.py:30-47) but without hardcoded globals or
+first-run network downloads (this environment has zero egress; the reference
+auto-downloads from HF Hub at :53-120 — we instead resolve whatever is already
+on disk and raise a clear error otherwise).
+
+Search order for each asset class:
+  1. ``$LDT_ASSETS/<class>``   (explicit override)
+  2. ``<repo>/_internal/<class>``  (drop-in compatible with the reference layout)
+  3. extra dirs registered via :func:`register_path`
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+SUPPORTED_EXTENSIONS = (".ckpt", ".pt", ".bin", ".pth", ".safetensors")
+
+ASSET_CLASSES = [
+    "checkpoints",
+    "loras",
+    "embeddings",
+    "ESRGAN",
+    "yolos",
+    "clip",
+    "sd1_tokenizer",
+    "output",
+]
+
+_extra_paths: dict[str, list[Path]] = {c: [] for c in ASSET_CLASSES}
+
+# The reference ships its CLIP tokenizer + config under _internal/; in this
+# dev environment those same public OpenAI-CLIP data files are readable at the
+# mounted reference checkout. Used as a last-resort fallback only.
+_REFERENCE_INTERNAL = Path("/root/reference/_internal")
+
+
+def register_path(asset_class: str, path: str | os.PathLike) -> None:
+    _extra_paths.setdefault(asset_class, []).append(Path(path))
+
+
+def candidate_dirs(asset_class: str) -> list[Path]:
+    dirs: list[Path] = []
+    env = os.environ.get("LDT_ASSETS")
+    if env:
+        dirs.append(Path(env) / asset_class)
+    repo_root = Path(__file__).resolve().parent.parent
+    dirs.append(repo_root / "_internal" / asset_class)
+    dirs.extend(_extra_paths.get(asset_class, []))
+    if _REFERENCE_INTERNAL.is_dir():
+        dirs.append(_REFERENCE_INTERNAL / asset_class)
+    return dirs
+
+
+def resolve_dir(asset_class: str, must_exist: bool = True) -> Path:
+    for d in candidate_dirs(asset_class):
+        if d.is_dir():
+            return d
+    if must_exist:
+        raise FileNotFoundError(
+            f"no directory found for asset class {asset_class!r}; searched "
+            f"{[str(d) for d in candidate_dirs(asset_class)]}. Set $LDT_ASSETS "
+            f"or create _internal/{asset_class}/."
+        )
+    return candidate_dirs(asset_class)[-1]
+
+
+def resolve_file(asset_class: str, name: str) -> Path:
+    """Find a named asset file in any candidate dir (with/without extension)."""
+    for d in candidate_dirs(asset_class):
+        p = d / name
+        if p.is_file():
+            return p
+        if not Path(name).suffix:
+            for ext in SUPPORTED_EXTENSIONS:
+                q = d / (name + ext)
+                if q.is_file():
+                    return q
+    raise FileNotFoundError(f"asset {name!r} not found in class {asset_class!r}")
+
+
+def list_files(asset_class: str) -> list[str]:
+    out: list[str] = []
+    for d in candidate_dirs(asset_class):
+        if d.is_dir():
+            for p in sorted(d.iterdir()):
+                if p.suffix.lower() in SUPPORTED_EXTENSIONS:
+                    out.append(p.name)
+    return out
+
+
+def output_dir() -> Path:
+    env = os.environ.get("LDT_OUTPUT")
+    if env:
+        d = Path(env)
+    else:
+        repo_root = Path(__file__).resolve().parent.parent
+        d = repo_root / "_internal" / "output"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
