@@ -1,0 +1,185 @@
+"""Attention kernels: Pallas flash attention (TPU) + fused XLA fallback.
+
+This replaces the reference's attention layer (xformers
+``memory_efficient_attention`` / torch SDPA, /root/reference/LightDiffusion.py
+:3942-3992 and the VAE attention at :3579-3642). The reference computes
+softmax in fp32 (``_ATTN_PRECISION == "fp32"``, :3895); we keep that contract:
+QK^T and the online-softmax statistics are fp32 regardless of input dtype.
+
+Shapes: (batch, heads, seq, head_dim) throughout. SD1.5 self-attention runs
+at head_dim 40/80/160 — the flash kernel pads head_dim to a lane multiple
+(128) with zeros (zero columns are exact no-ops in both matmuls).
+
+Dispatch policy (``attention``):
+  - long sequences on TPU → Pallas flash kernel (never materializes S×S)
+  - short sequences / CPU → XLA einsum path (fuses fine at these sizes)
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+# ------------------------------------------------------------------ XLA -----
+def attention_xla(q, k, v, scale: float | None = None):
+    """Reference multi-head attention, fp32 softmax. (B,H,S,D),(B,H,T,D)."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+# --------------------------------------------------------------- Pallas -----
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_steps):
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]  # (block_q, d)
+    k = k_ref[0, 0]  # (block_k, d)
+    v = v_ref[0, 0]  # (block_k, d)
+
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((1,), (1,)), ((), ())),  # q @ k^T
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale  # (block_q, block_k) fp32
+
+    m_prev = m_ref[:, :1]  # (block_q, 1)
+    l_prev = l_ref[:, :1]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+    pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(kv_idx == kv_steps - 1)
+    def _store():
+        l_final = l_ref[:, :1]
+        l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_attention(q, k, v, scale=None, block_q: int = 256, block_k: int = 512):
+    """Pallas flash attention forward (non-causal, no mask).
+
+    q: (B,H,S,D), k/v: (B,H,T,D). D is padded to a multiple of 128 inside;
+    S must be divisible by block_q, T by block_k (callers guarantee this for
+    SD shapes; the dispatcher falls back to XLA otherwise).
+    """
+    b, h, sq, d = q.shape
+    t = k.shape[2]
+    scale_val = float(scale) if scale is not None else 1.0 / math.sqrt(d)
+
+    block_q = min(block_q, sq)
+    block_k = min(block_k, t)
+
+    d_pad = ((d + LANES - 1) // LANES) * LANES
+    if d_pad != d:
+        pad = [(0, 0)] * 3 + [(0, d_pad - d)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    kv_steps = t // block_k
+    grid = (b, h, sq // block_q, kv_steps)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale_val, kv_steps=kv_steps),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d_pad),
+                lambda b, h, i, j: (b, h, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d_pad),
+                lambda b, h, i, j: (b, h, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d_pad),
+                lambda b, h, i, j: (b, h, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d_pad),
+            lambda b, h, i, j: (b, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),  # running max
+            pltpu.VMEM((block_q, LANES), jnp.float32),  # running sum
+            pltpu.VMEM((block_q, d_pad), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v)
+    if d_pad != d:
+        out = out[..., :d]
+    return out
+
+
+# ------------------------------------------------------------- dispatch -----
+def _on_tpu() -> bool:
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+def attention(q, k, v, scale=None, force: str | None = None):
+    """Multi-head attention dispatcher. q:(B,H,S,D) k/v:(B,H,T,D) → (B,H,S,D).
+
+    ``force``: None (auto) | 'xla' | 'flash'.
+    """
+    sq, t = q.shape[2], k.shape[2]
+    use_flash = (
+        force == "flash"
+        if force
+        else (_on_tpu() and sq >= 1024 and sq % 256 == 0 and t % 256 == 0)
+    )
+    if use_flash:
+        return flash_attention(q, k, v, scale=scale)
+    return attention_xla(q, k, v, scale=scale)
+
+
+def attention_heads_last(q, k, v, num_heads: int, scale=None, force=None):
+    """Attention over (B, S, C) tensors with C = heads*head_dim (the
+    transformer-block layout, ref LightDiffusion.py:3966-3978)."""
+    b, s, c = q.shape
+    t = k.shape[1]
+    d = c // num_heads
+
+    def split(x, length):
+        return x.reshape(b, length, num_heads, d).transpose(0, 2, 1, 3)
+
+    out = attention(split(q, s), split(k, t), split(v, t), scale=scale, force=force)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, c)

@@ -19,4 +19,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize force-registers the TPU backend and sets
+# jax_platforms="axon,cpu", overriding the env var — undo that here, before
+# any backend is initialized, so tests really run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    assert jax.device_count() == 8, jax.devices()

@@ -1,0 +1,74 @@
+"""Flash-attention kernel vs XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lightdiffusion_tpu.ops import attention as A
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype)
+
+
+@pytest.mark.parametrize("d", [40, 80, 128, 160])
+def test_flash_matches_xla_interpret(monkeypatch, d):
+    # run the pallas kernel in interpreter mode on CPU
+    import functools
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+
+    b, h, s = 1, 2, 512
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = _rand(k1, (b, h, s, d))
+    k = _rand(k2, (b, h, s, d))
+    v = _rand(k3, (b, h, s, d))
+    ref = A.attention_xla(q, k, v)
+    out = A.flash_attention(q, k, v, block_q=256, block_k=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_cross_attention_shape(monkeypatch):
+    import functools
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+
+    q = _rand(jax.random.PRNGKey(1), (2, 4, 256, 64))
+    k = _rand(jax.random.PRNGKey(2), (2, 4, 128, 64))
+    v = _rand(jax.random.PRNGKey(3), (2, 4, 128, 64))
+    ref = A.attention_xla(q, k, v)
+    out = A.flash_attention(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_dispatcher_cpu_uses_xla():
+    q = _rand(jax.random.PRNGKey(1), (1, 2, 64, 40))
+    out = A.attention(q, q, q)
+    ref = A.attention_xla(q, q, q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_heads_last_layout():
+    b, s, heads, d = 2, 64, 4, 32
+    c = heads * d
+    key = jax.random.PRNGKey(7)
+    q, k, v = (_rand(kk, (b, s, c)) for kk in jax.random.split(key, 3))
+    out = A.attention_heads_last(q, k, v, num_heads=heads)
+    # manual reference
+    qh = q.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+    ref = A.attention_xla(qh, kh, vh).transpose(0, 2, 1, 3).reshape(b, s, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_softmax_fp32_with_bf16_inputs():
+    # large logits that would overflow a bf16 softmax path
+    q = jnp.full((1, 1, 8, 16), 30.0, jnp.bfloat16)
+    out = A.attention_xla(q, q, q)
+    assert jnp.all(jnp.isfinite(out.astype(jnp.float32)))
