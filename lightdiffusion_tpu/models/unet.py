@@ -1,0 +1,325 @@
+"""SD1.x diffusion UNet, TPU-native (NHWC, functional, bf16-policy).
+
+Behavioral parity targets (/root/reference/LightDiffusion.py):
+  - ``UNetModel1`` topology            :5294-5767 (input/middle/output blocks)
+  - ``ResBlock1``                      :5189-5287
+  - ``SpatialTransformer``             :4165-4262 (GN → 1×1 conv → blocks → 1×1)
+  - ``BasicTransformerBlock``          :4039-4162 (self-attn, cross-attn, GEGLU FF)
+  - ``CrossAttention``                 :3995 (bias-less q/k/v)
+  - ``Upsample1``/``Downsample1``      :5114/:5155
+  - ``timestep_embedding``             :803-812
+  - sm_SD15 config                     :5964-5976 (model_channels 320,
+    channel_mult [1,2,4,4], context 768, heads 8, attention at ds 1/2/4)
+
+Architecture: a static *plan* (list of block descriptors) is derived from the
+config; ``init_unet_params``, ``apply_unet`` and the checkpoint converter all
+walk the same plan, so layouts can never diverge. Activations are NHWC; all
+attention runs through ops.attention (Pallas flash kernel on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import layers as L
+from ..ops.attention import attention_heads_last
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    model_channels: int = 320
+    channel_mult: tuple = (1, 2, 4, 4)
+    num_res_blocks: tuple = (2, 2, 2, 2)
+    transformer_depth: tuple = (1, 1, 1, 0)  # 0 = no attention at that level
+    context_dim: int = 768
+    num_heads: int = 8
+    dropout: float = 0.0
+    attn_force: str | None = None  # attention backend override for tests
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.model_channels * 4
+
+
+SD15_UNET = UNetConfig()
+
+
+# ------------------------------------------------------------------ plan ----
+@dataclasses.dataclass(frozen=True)
+class BlockSpec:
+    kind: str  # 'conv_in' | 'res' | 'res_attn' | 'down' | 'up'
+    ch_in: int = 0
+    ch_out: int = 0
+    depth: int = 0  # transformer depth (res_attn)
+    skip_ch: int = 0  # concat channels (output blocks)
+    upsample: bool = False  # output blocks: trailing upsample
+
+
+def build_plan(cfg: UNetConfig):
+    """Returns (input_plan, middle_depth, output_plan, skip_channels)."""
+    ch = cfg.model_channels
+    input_plan = [BlockSpec("conv_in", cfg.in_channels, ch)]
+    skips = [ch]
+    for level, mult in enumerate(cfg.channel_mult):
+        out_ch = cfg.model_channels * mult
+        for _ in range(cfg.num_res_blocks[level]):
+            kind = "res_attn" if cfg.transformer_depth[level] > 0 else "res"
+            input_plan.append(
+                BlockSpec(kind, ch, out_ch, depth=cfg.transformer_depth[level])
+            )
+            ch = out_ch
+            skips.append(ch)
+        if level != len(cfg.channel_mult) - 1:
+            input_plan.append(BlockSpec("down", ch, ch))
+            skips.append(ch)
+
+    output_plan = []
+    for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+        out_ch = cfg.model_channels * mult
+        for i in range(cfg.num_res_blocks[level] + 1):
+            skip_ch = skips.pop()
+            kind = "res_attn" if cfg.transformer_depth[level] > 0 else "res"
+            up = level != 0 and i == cfg.num_res_blocks[level]
+            output_plan.append(
+                BlockSpec(
+                    kind,
+                    ch,
+                    out_ch,
+                    depth=cfg.transformer_depth[level],
+                    skip_ch=skip_ch,
+                    upsample=up,
+                )
+            )
+            ch = out_ch
+    return input_plan, output_plan
+
+
+# ------------------------------------------------------------- sub-blocks ---
+def resblock_apply(p, x, emb, policy):
+    """GN-SiLU-conv / +time-emb / GN-SiLU-conv / +skip (ref :5189-5287)."""
+    h = L.group_norm(p["in_norm"], x, eps=1e-5, policy=policy)
+    h = L.conv2d(p["in_conv"], L.silu(h), policy=policy)
+    emb_out = L.linear(p["emb"], L.silu(emb), policy)
+    h = h + emb_out[:, None, None, :]
+    h = L.group_norm(p["out_norm"], h, eps=1e-5, policy=policy)
+    h = L.conv2d(p["out_conv"], L.silu(h), policy=policy)
+    if "skip" in p:
+        x = L.conv2d(p["skip"], x, policy=policy)
+    return x + h
+
+
+def cross_attention_apply(p, x, context, num_heads, policy, force=None):
+    """x: (B, S, C); context: (B, T, ctx). Bias-less q/k/v (ref :3995)."""
+    q = L.linear(p["to_q"], x, policy)
+    k = L.linear(p["to_k"], context, policy)
+    v = L.linear(p["to_v"], context, policy)
+    out = attention_heads_last(q, k, v, num_heads=num_heads, force=force)
+    return L.linear(p["to_out"], out, policy)
+
+
+def transformer_block_apply(p, x, context, num_heads, policy, force=None):
+    x = x + cross_attention_apply(
+        p["attn1"], L.layer_norm(p["ln1"], x, policy=policy),
+        L.layer_norm(p["ln1"], x, policy=policy), num_heads, policy, force
+    )
+    x = x + cross_attention_apply(
+        p["attn2"], L.layer_norm(p["ln2"], x, policy=policy), context,
+        num_heads, policy, force,
+    )
+    x = x + L.linear(
+        p["ff_out"], L.geglu(p["ff_in"], L.layer_norm(p["ln3"], x, policy=policy), policy), policy
+    )
+    return x
+
+
+def spatial_transformer_apply(p, x, context, num_heads, policy, force=None):
+    """GN → 1×1 conv in → (B,HW,C) blocks → 1×1 conv out → +residual
+    (ref :4165-4262)."""
+    b, h, w, c = x.shape
+    residual = x
+    x = L.group_norm(p["norm"], x, eps=1e-6, policy=policy)
+    x = L.conv2d(p["proj_in"], x, policy=policy)
+    x = x.reshape(b, h * w, c)
+    for blk in p["blocks"]:
+        x = transformer_block_apply(blk, x, context, num_heads, policy, force)
+    x = x.reshape(b, h, w, c)
+    x = L.conv2d(p["proj_out"], x, policy=policy)
+    return x + residual
+
+
+def downsample_apply(p, x, policy):
+    """Stride-2 3×3 conv, torch padding=1 semantics (ref :5155)."""
+    return L.conv2d(p["conv"], x, stride=2, padding=[(1, 1), (1, 1)], policy=policy)
+
+
+def upsample_apply(p, x, policy, output_shape=None):
+    """Nearest ×2 + 3×3 conv (ref :5114)."""
+    b, h, w, c = x.shape
+    th, tw = (output_shape if output_shape else (h * 2, w * 2))
+    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)[:, :th, :tw]
+    return L.conv2d(p["conv"], x, policy=policy)
+
+
+# ----------------------------------------------------------------- apply ----
+def _block_apply(spec: BlockSpec, p, h, emb, context, cfg, policy):
+    if spec.kind == "conv_in":
+        return L.conv2d(p["conv"], h, policy=policy)
+    if spec.kind == "down":
+        return downsample_apply(p, h, policy)
+    h = resblock_apply(p["res"], h, emb, policy)
+    if spec.kind == "res_attn":
+        h = spatial_transformer_apply(
+            p["attn"], h, context, cfg.num_heads, policy, cfg.attn_force
+        )
+    return h
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "policy"))
+def apply_unet(
+    params,
+    x: jnp.ndarray,  # (B, H, W, C_in) NHWC latent
+    timesteps: jnp.ndarray,  # (B,) float32
+    context: jnp.ndarray,  # (B, T, ctx_dim)
+    cfg: UNetConfig = SD15_UNET,
+    policy: L.Policy = L.DEFAULT_POLICY,
+):
+    """UNet forward (ref :5688-5767): eps prediction in x's dtype."""
+    input_plan, output_plan = build_plan(cfg)
+
+    t_emb = L.timestep_embedding(timesteps, cfg.model_channels)
+    emb = L.linear(params["time_fc1"], t_emb.astype(policy.compute_dtype), policy)
+    emb = L.linear(params["time_fc2"], L.silu(emb), policy)
+
+    h = x.astype(policy.compute_dtype)
+    context = context.astype(policy.compute_dtype)
+
+    hs = []
+    for spec, p in zip(input_plan, params["input_blocks"]):
+        h = _block_apply(spec, p, h, emb, context, cfg, policy)
+        hs.append(h)
+
+    h = resblock_apply(params["middle"]["res1"], h, emb, policy)
+    h = spatial_transformer_apply(
+        params["middle"]["attn"], h, context, cfg.num_heads, policy, cfg.attn_force
+    )
+    h = resblock_apply(params["middle"]["res2"], h, emb, policy)
+
+    for spec, p in zip(output_plan, params["output_blocks"]):
+        skip = hs.pop()
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = resblock_apply(p["res"], h, emb, policy)
+        if spec.kind == "res_attn":
+            h = spatial_transformer_apply(
+                p["attn"], h, context, cfg.num_heads, policy, cfg.attn_force
+            )
+        if spec.upsample:
+            out_hw = None
+            if hs:
+                out_hw = hs[-1].shape[1:3]
+            h = upsample_apply(p["up"], h, policy, output_shape=out_hw)
+
+    h = L.group_norm(params["out_norm"], h, eps=1e-5, policy=policy)
+    h = L.conv2d(params["out_conv"], L.silu(h), policy=policy)
+    return h.astype(x.dtype)
+
+
+# ------------------------------------------------------------------ init ----
+def _init_res(key, ch_in, ch_out, emb_dim, dtype):
+    ks = jax.random.split(key, 4)
+    p = {
+        "in_norm": L.init_norm(ch_in, dtype),
+        "in_conv": L.init_conv2d(ks[0], 3, 3, ch_in, ch_out, dtype=dtype),
+        "emb": L.init_linear(ks[1], emb_dim, ch_out, dtype=dtype),
+        "out_norm": L.init_norm(ch_out, dtype),
+        "out_conv": L.init_conv2d(ks[2], 3, 3, ch_out, ch_out, dtype=dtype),
+    }
+    if ch_in != ch_out:
+        p["skip"] = L.init_conv2d(ks[3], 1, 1, ch_in, ch_out, dtype=dtype)
+    return p
+
+
+def _init_xattn(key, c, ctx, dtype):
+    ks = jax.random.split(key, 4)
+    return {
+        "to_q": L.init_linear(ks[0], c, c, bias=False, dtype=dtype),
+        "to_k": L.init_linear(ks[1], ctx, c, bias=False, dtype=dtype),
+        "to_v": L.init_linear(ks[2], ctx, c, bias=False, dtype=dtype),
+        "to_out": L.init_linear(ks[3], c, c, dtype=dtype),
+    }
+
+
+def _init_transformer(key, c, ctx, depth, dtype):
+    ks = jax.random.split(key, depth + 2)
+    blocks = []
+    for i in range(depth):
+        kk = jax.random.split(ks[i], 4)
+        blocks.append(
+            {
+                "ln1": L.init_norm(c, dtype),
+                "ln2": L.init_norm(c, dtype),
+                "ln3": L.init_norm(c, dtype),
+                "attn1": _init_xattn(kk[0], c, c, dtype),
+                "attn2": _init_xattn(kk[1], c, ctx, dtype),
+                "ff_in": L.init_linear(kk[2], c, c * 8, dtype=dtype),
+                "ff_out": L.init_linear(kk[3], c * 4, c, dtype=dtype),
+            }
+        )
+    return {
+        "norm": L.init_norm(c, dtype),
+        "proj_in": L.init_conv2d(ks[-2], 1, 1, c, c, dtype=dtype),
+        "proj_out": L.init_conv2d(ks[-1], 1, 1, c, c, dtype=dtype),
+        "blocks": tuple(blocks),
+    }
+
+
+def init_unet_params(key, cfg: UNetConfig = SD15_UNET, dtype=jnp.float32):
+    input_plan, output_plan = build_plan(cfg)
+    emb_dim = cfg.time_embed_dim
+    keys = iter(jax.random.split(key, len(input_plan) + len(output_plan) + 8))
+
+    def init_block(spec: BlockSpec, is_output: bool):
+        k = next(keys)
+        if spec.kind == "conv_in":
+            return {"conv": L.init_conv2d(k, 3, 3, spec.ch_in, spec.ch_out, dtype=dtype)}
+        if spec.kind == "down":
+            return {"conv": L.init_conv2d(k, 3, 3, spec.ch_in, spec.ch_out, dtype=dtype)}
+        kk = jax.random.split(k, 3)
+        p = {
+            "res": _init_res(
+                kk[0], spec.ch_in + spec.skip_ch, spec.ch_out, emb_dim, dtype
+            )
+        }
+        if spec.kind == "res_attn":
+            p["attn"] = _init_transformer(
+                kk[1], spec.ch_out, cfg.context_dim, spec.depth, dtype
+            )
+        if spec.upsample:
+            p["up"] = {
+                "conv": L.init_conv2d(kk[2], 3, 3, spec.ch_out, spec.ch_out, dtype=dtype)
+            }
+        return p
+
+    mk = jax.random.split(next(keys), 3)
+    mid_ch = cfg.model_channels * cfg.channel_mult[-1]
+    return {
+        "time_fc1": L.init_linear(next(keys), cfg.model_channels, emb_dim, dtype=dtype),
+        "time_fc2": L.init_linear(next(keys), emb_dim, emb_dim, dtype=dtype),
+        "input_blocks": tuple(init_block(s, False) for s in input_plan),
+        "middle": {
+            "res1": _init_res(mk[0], mid_ch, mid_ch, emb_dim, dtype),
+            "attn": _init_transformer(mk[1], mid_ch, cfg.context_dim, 1, dtype),
+            "res2": _init_res(mk[2], mid_ch, mid_ch, emb_dim, dtype),
+        },
+        "output_blocks": tuple(init_block(s, True) for s in output_plan),
+        "out_norm": L.init_norm(cfg.model_channels, dtype),
+        "out_conv": L.init_conv2d(
+            next(keys), 3, 3, cfg.model_channels, cfg.out_channels, dtype=dtype
+        ),
+    }

@@ -1,0 +1,224 @@
+"""A compact torch UNet with exact LDM module naming, used as an independent
+numerical reference for the JAX UNet + weight converter. Written from the
+published LDM/SD architecture (GroupNorm-SiLU-conv ResBlocks, spatial
+transformers with GEGLU FF, skip-concat U topology) — NOT imported from the
+reference repo. Only used in tests, on CPU, at toy sizes."""
+
+import math
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+def timestep_embedding(timesteps, dim, max_period=10000):
+    half = dim // 2
+    freqs = torch.exp(
+        -math.log(max_period) * torch.arange(half, dtype=torch.float32) / half
+    )
+    args = timesteps[:, None].float() * freqs[None]
+    return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+
+
+class ResBlock(nn.Module):
+    def __init__(self, ch_in, ch_out, emb_dim, groups=32):
+        super().__init__()
+        self.in_layers = nn.Sequential(
+            nn.GroupNorm(groups, ch_in), nn.SiLU(), nn.Conv2d(ch_in, ch_out, 3, padding=1)
+        )
+        self.emb_layers = nn.Sequential(nn.SiLU(), nn.Linear(emb_dim, ch_out))
+        self.out_layers = nn.Sequential(
+            nn.GroupNorm(groups, ch_out), nn.SiLU(), nn.Identity(), nn.Conv2d(ch_out, ch_out, 3, padding=1)
+        )
+        self.skip_connection = (
+            nn.Conv2d(ch_in, ch_out, 1) if ch_in != ch_out else nn.Identity()
+        )
+
+    def forward(self, x, emb):
+        h = self.in_layers(x)
+        h = h + self.emb_layers(emb)[:, :, None, None]
+        h = self.out_layers(h)
+        return self.skip_connection(x) + h
+
+
+class CrossAttention(nn.Module):
+    def __init__(self, query_dim, context_dim, heads, dim_head):
+        super().__init__()
+        inner = heads * dim_head
+        self.heads = heads
+        self.scale = dim_head**-0.5
+        self.to_q = nn.Linear(query_dim, inner, bias=False)
+        self.to_k = nn.Linear(context_dim, inner, bias=False)
+        self.to_v = nn.Linear(context_dim, inner, bias=False)
+        self.to_out = nn.Sequential(nn.Linear(inner, query_dim))
+
+    def forward(self, x, context=None):
+        context = x if context is None else context
+        b, s, _ = x.shape
+        t = context.shape[1]
+        h = self.heads
+        q = self.to_q(x).view(b, s, h, -1).transpose(1, 2)
+        k = self.to_k(context).view(b, t, h, -1).transpose(1, 2)
+        v = self.to_v(context).view(b, t, h, -1).transpose(1, 2)
+        a = torch.softmax(q @ k.transpose(-1, -2) * self.scale, dim=-1)
+        out = (a @ v).transpose(1, 2).reshape(b, s, -1)
+        return self.to_out(out)
+
+
+class GEGLU(nn.Module):
+    def __init__(self, dim_in, dim_out):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out * 2)
+
+    def forward(self, x):
+        x, gate = self.proj(x).chunk(2, dim=-1)
+        return x * F.gelu(gate)
+
+
+class BasicTransformerBlock(nn.Module):
+    def __init__(self, dim, context_dim, heads):
+        super().__init__()
+        dim_head = dim // heads
+        self.attn1 = CrossAttention(dim, dim, heads, dim_head)
+        self.attn2 = CrossAttention(dim, context_dim, heads, dim_head)
+        self.ff = nn.Module()
+        self.ff.net = nn.Sequential(GEGLU(dim, dim * 4), nn.Identity(), nn.Linear(dim * 4, dim))
+        self.norm1 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.norm3 = nn.LayerNorm(dim)
+
+    def forward(self, x, context):
+        x = self.attn1(self.norm1(x)) + x
+        x = self.attn2(self.norm2(x), context) + x
+        x = self.ff.net(self.norm3(x)) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    def __init__(self, ch, context_dim, heads, depth=1, groups=32):
+        super().__init__()
+        self.norm = nn.GroupNorm(groups, ch, eps=1e-6)
+        self.proj_in = nn.Conv2d(ch, ch, 1)
+        self.transformer_blocks = nn.ModuleList(
+            [BasicTransformerBlock(ch, context_dim, heads) for _ in range(depth)]
+        )
+        self.proj_out = nn.Conv2d(ch, ch, 1)
+
+    def forward(self, x, context):
+        b, c, h, w = x.shape
+        residual = x
+        x = self.norm(x)
+        x = self.proj_in(x)
+        x = x.permute(0, 2, 3, 1).reshape(b, h * w, c)
+        for blk in self.transformer_blocks:
+            x = blk(x, context)
+        x = x.reshape(b, h, w, c).permute(0, 3, 1, 2)
+        return self.proj_out(x) + residual
+
+
+class Downsample(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.op = nn.Conv2d(ch, ch, 3, stride=2, padding=1)
+
+    def forward(self, x):
+        return self.op(x)
+
+
+class Upsample(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.conv = nn.Conv2d(ch, ch, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv(F.interpolate(x, scale_factor=2, mode="nearest"))
+
+
+class MiniLDMUNet(nn.Module):
+    """LDM-structured UNet at toy size, state-dict compatible with the SD
+    'model.diffusion_model.' key layout (minus the prefix)."""
+
+    def __init__(
+        self,
+        in_ch=4,
+        out_ch=4,
+        model_ch=32,
+        channel_mult=(1, 2),
+        num_res=(1, 1),
+        depths=(1, 0),
+        context_dim=64,
+        heads=2,
+        groups=32,
+    ):
+        super().__init__()
+        emb = model_ch * 4
+        self.model_ch = model_ch
+        self.time_embed = nn.Sequential(
+            nn.Linear(model_ch, emb), nn.SiLU(), nn.Linear(emb, emb)
+        )
+        self.input_blocks = nn.ModuleList(
+            [nn.Sequential(nn.Conv2d(in_ch, model_ch, 3, padding=1))]
+        )
+        ch = model_ch
+        skips = [ch]
+        for level, mult in enumerate(channel_mult):
+            oc = model_ch * mult
+            for _ in range(num_res[level]):
+                mods = [ResBlock(ch, oc, emb, groups)]
+                if depths[level] > 0:
+                    mods.append(SpatialTransformer(oc, context_dim, heads, depths[level], groups))
+                self.input_blocks.append(nn.Sequential(*mods))
+                ch = oc
+                skips.append(ch)
+            if level != len(channel_mult) - 1:
+                self.input_blocks.append(nn.Sequential(Downsample(ch)))
+                skips.append(ch)
+        self.middle_block = nn.Sequential(
+            ResBlock(ch, ch, emb, groups),
+            SpatialTransformer(ch, context_dim, heads, 1, groups),
+            ResBlock(ch, ch, emb, groups),
+        )
+        self.output_blocks = nn.ModuleList()
+        for level, mult in reversed(list(enumerate(channel_mult))):
+            oc = model_ch * mult
+            for i in range(num_res[level] + 1):
+                sc = skips.pop()
+                mods = [ResBlock(ch + sc, oc, emb, groups)]
+                if depths[level] > 0:
+                    mods.append(SpatialTransformer(oc, context_dim, heads, depths[level], groups))
+                if level != 0 and i == num_res[level]:
+                    mods.append(Upsample(oc))
+                self.output_blocks.append(nn.Sequential(*mods))
+                ch = oc
+        self.out = nn.Sequential(
+            nn.GroupNorm(groups, model_ch), nn.SiLU(), nn.Conv2d(model_ch, out_ch, 3, padding=1)
+        )
+
+    def forward(self, x, timesteps, context):
+        emb = self.time_embed(timestep_embedding(timesteps, self.model_ch))
+        h = x
+        hs = []
+        for block in self.input_blocks:
+            for mod in block:
+                if isinstance(mod, ResBlock):
+                    h = mod(h, emb)
+                elif isinstance(mod, SpatialTransformer):
+                    h = mod(h, context)
+                else:
+                    h = mod(h)
+            hs.append(h)
+        for mod in self.middle_block:
+            if isinstance(mod, ResBlock):
+                h = mod(h, emb)
+            else:
+                h = mod(h, context)
+        for block in self.output_blocks:
+            h = torch.cat([h, hs.pop()], dim=1)
+            for mod in block:
+                if isinstance(mod, ResBlock):
+                    h = mod(h, emb)
+                elif isinstance(mod, SpatialTransformer):
+                    h = mod(h, context)
+                else:
+                    h = mod(h)
+        return self.out(h)
