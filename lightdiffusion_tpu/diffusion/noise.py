@@ -1,0 +1,38 @@
+"""Noise generation: seed-reproducible latents and per-step sampler noise.
+
+The reference seeds torch's CPU generator and draws ``randn`` on the host for
+device-independent reproducibility (``prepare_noise``,
+/root/reference/LightDiffusion.py:3145-3153), and uses torchsde Brownian trees
+for SDE samplers (:857-905). TPU-native equivalents:
+  - ``prepare_noise``: threefry PRNGKey(seed) → normal. Deterministic across
+    hosts/devices by construction (same contract, different bits — cross-
+    framework bit-parity is impossible; parity tests inject noise instead).
+  - per-step noise: ``jax.random.fold_in(key, step)`` — the hashed-key
+    equivalent of the Brownian tree's per-interval determinism: the noise for
+    step i is independent of how many steps precede it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def prepare_noise(latent: jnp.ndarray, seed: int, dtype=None) -> jnp.ndarray:
+    """Seeded standard normal with the latent's shape (ref :3145)."""
+    key = jax.random.PRNGKey(seed)
+    return jax.random.normal(key, latent.shape, dtype or latent.dtype)
+
+
+def step_noise_key(seed_or_key, step) -> jax.Array:
+    """Deterministic per-step key (Brownian-tree reproducibility contract)."""
+    key = (
+        jax.random.PRNGKey(seed_or_key)
+        if isinstance(seed_or_key, int)
+        else seed_or_key
+    )
+    return jax.random.fold_in(key, step)
+
+
+def step_noise(key, step, shape, dtype=jnp.float32) -> jnp.ndarray:
+    return jax.random.normal(step_noise_key(key, step), shape, dtype)

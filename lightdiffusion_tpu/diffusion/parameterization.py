@@ -32,15 +32,19 @@ class DiscreteSampling:
     sigmas: jnp.ndarray
     log_sigmas: jnp.ndarray
     prediction_type: str = "eps"  # "eps" | "v"
+    # host-side copies of the endpoints: usable under jit tracing (the jnp
+    # tables become tracers inside jit, so float() on them would fail)
+    sigma_min_f: float = 0.0
+    sigma_max_f: float = 0.0
 
     # -- schedule --------------------------------------------------------
     @property
-    def sigma_min(self) -> jnp.ndarray:
-        return self.sigmas[0]
+    def sigma_min(self) -> float:
+        return self.sigma_min_f
 
     @property
-    def sigma_max(self) -> jnp.ndarray:
-        return self.sigmas[-1]
+    def sigma_max(self) -> float:
+        return self.sigma_max_f
 
     def timestep(self, sigma: jnp.ndarray) -> jnp.ndarray:
         """Continuous sigma → fractional trained timestep.
@@ -145,4 +149,6 @@ def make_discrete_sampling(
         sigmas=sigmas32,
         log_sigmas=jnp.log(sigmas32),
         prediction_type=prediction_type,
+        sigma_min_f=float(sigmas[0]),
+        sigma_max_f=float(sigmas[-1]),
     )

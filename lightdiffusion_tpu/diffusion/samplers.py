@@ -1,0 +1,285 @@
+"""Samplers as XLA control flow: fixed-step samplers are ``lax.scan`` bodies,
+the adaptive DPM solver is a ``lax.while_loop`` — the whole sampling loop
+compiles to ONE device program (the TPU-native replacement for the
+reference's Python step loops + stable-fast tracing).
+
+Behavioral parity targets (/root/reference/LightDiffusion.py):
+  - ``sample_euler_ancestral``     :907-941
+  - ``get_ancestral_step``/``to_d``:844/:840
+  - ``sample_dpmpp_2m_sde``        :1174-1244 (midpoint solver, eta=1)
+  - ``DPMSolver`` order-2/3 steps  :976-1114 (t = −log σ space)
+  - ``dpm_solver_adaptive`` + PID  :1039/:944 (rtol 0.05, atol 0.0078,
+    accept_safety 0.81)
+  - ``sample_dpm_adaptive``        :1118
+  - ``KSAMPLER_NAMES``             :2725
+
+Per-step noise comes from fold_in(key, step) — deterministic per (seed, step)
+regardless of chunking (noise.py). ``callback(step, x, denoised)`` is invoked
+via ``io_callback`` when given (TAESD previews / progress, §2.4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .noise import step_noise_key
+
+KSAMPLER_NAMES = [
+    "euler",
+    "euler_ancestral",
+    "dpmpp_2m",
+    "dpmpp_2m_sde",
+    "dpm_adaptive",
+    "ddim",
+]
+
+
+def _maybe_callback(callback, step, x, denoised):
+    if callback is not None:
+        jax.experimental.io_callback(
+            callback, None, step, x, denoised, ordered=False
+        )
+
+
+def to_d(x, sigma, denoised):
+    """Karras ODE derivative (ref :840)."""
+    return (x - denoised) / sigma
+
+
+def get_ancestral_step(sigma_from, sigma_to, eta=1.0):
+    """Ancestral split of a step into deterministic + noise parts (ref :844)."""
+    sigma_up = jnp.minimum(
+        sigma_to,
+        eta
+        * jnp.sqrt(sigma_to**2 * (sigma_from**2 - sigma_to**2) / sigma_from**2),
+    )
+    sigma_down = jnp.sqrt(sigma_to**2 - sigma_up**2)
+    return sigma_down, sigma_up
+
+
+# ------------------------------------------------------------------ fixed ---
+def sample_euler(denoise_fn, x, sigmas, key=None, callback=None, **_):
+    def body(x, args):
+        i, sigma, sigma_next = args
+        denoised = denoise_fn(x, sigma)
+        d = to_d(x, sigma, denoised)
+        x = x + d * (sigma_next - sigma)
+        _maybe_callback(callback, i, x, denoised)
+        return x, None
+
+    n = sigmas.shape[0] - 1
+    steps = (jnp.arange(n), sigmas[:-1], sigmas[1:])
+    x, _ = jax.lax.scan(body, x, steps)
+    return x
+
+
+def sample_euler_ancestral(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
+                           callback=None, **_):
+    """(ref :907-941)"""
+
+    def body(x, args):
+        i, sigma, sigma_next = args
+        denoised = denoise_fn(x, sigma)
+        sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next, eta)
+        d = to_d(x, sigma, denoised)
+        x = x + d * (sigma_down - sigma)
+        noise = jax.random.normal(step_noise_key(key, i), x.shape, x.dtype)
+        x = jnp.where(sigma_next > 0, x + noise * (s_noise * sigma_up), x)
+        _maybe_callback(callback, i, x, denoised)
+        return x, None
+
+    n = sigmas.shape[0] - 1
+    x, _ = jax.lax.scan(body, x, (jnp.arange(n), sigmas[:-1], sigmas[1:]))
+    return x
+
+
+def sample_dpmpp_2m(denoise_fn, x, sigmas, key=None, callback=None, **_):
+    """DPM++(2M) deterministic (log-sigma t-space, 2nd-order multistep)."""
+
+    def t_fn(sigma):
+        return -jnp.log(sigma)
+
+    def sigma_fn(t):
+        return jnp.exp(-t)
+
+    def body(carry, args):
+        x, old_denoised, h_last = carry
+        i, sigma, sigma_next = args
+        denoised = denoise_fn(x, sigma)
+        t, t_next = t_fn(sigma), t_fn(jnp.maximum(sigma_next, 1e-10))
+        h = t_next - t
+        x_1 = sigma_fn(t_next) / sigma_fn(t) * x - jnp.expm1(-h) * denoised
+        r = h_last / h
+        denoised_d = (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised
+        x_2 = sigma_fn(t_next) / sigma_fn(t) * x - jnp.expm1(-h) * denoised_d
+        use_2nd = (i > 0) & (sigma_next > 0)
+        x = jnp.where(sigma_next == 0, denoised, jnp.where(use_2nd, x_2, x_1))
+        _maybe_callback(callback, i, x, denoised)
+        return (x, denoised, h), None
+
+    n = sigmas.shape[0] - 1
+    (x, _, _), _ = jax.lax.scan(
+        body, (x, jnp.zeros_like(x), jnp.float32(1.0)),
+        (jnp.arange(n), sigmas[:-1], sigmas[1:]),
+    )
+    return x
+
+
+def sample_dpmpp_2m_sde(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
+                        callback=None, **_):
+    """DPM++(2M) SDE, midpoint solver (ref :1174-1244)."""
+
+    def body(carry, args):
+        x, old_denoised, h_last = carry
+        i, sigma, sigma_next = args
+        denoised = denoise_fn(x, sigma)
+
+        t = -jnp.log(sigma)
+        s = -jnp.log(jnp.maximum(sigma_next, 1e-10))
+        h = s - t
+        eta_h = eta * h
+
+        x_new = (
+            sigma_next / sigma * jnp.exp(-eta_h) * x
+            + (-jnp.expm1(-h - eta_h)) * denoised
+        )
+        # midpoint 2nd-order correction
+        r = h_last / h
+        x_2 = x_new + 0.5 * (-jnp.expm1(-h - eta_h)) * (1 / r) * (
+            denoised - old_denoised
+        )
+        x_new = jnp.where(i > 0, x_2, x_new)
+        noise = jax.random.normal(step_noise_key(key, i), x.shape, x.dtype)
+        x_new = x_new + noise * (
+            sigma_next * jnp.sqrt(-jnp.expm1(-2 * eta_h)) * s_noise
+        )
+        x = jnp.where(sigma_next == 0, denoised, x_new)
+        _maybe_callback(callback, i, x, denoised)
+        return (x, denoised, h), None
+
+    n = sigmas.shape[0] - 1
+    (x, _, _), _ = jax.lax.scan(
+        body, (x, jnp.zeros_like(x), jnp.float32(1.0)),
+        (jnp.arange(n), sigmas[:-1], sigmas[1:]),
+    )
+    return x
+
+
+def sample_ddim(denoise_fn, x, sigmas, key=None, callback=None, **_):
+    """DDIM (deterministic) in sigma space — equals euler on this
+    parameterization; kept as a named sampler for API completeness."""
+    return sample_euler(denoise_fn, x, sigmas, key, callback)
+
+
+# --------------------------------------------------------------- adaptive ---
+def sample_dpm_adaptive(
+    denoise_fn,
+    x,
+    sigmas,
+    key=None,
+    order: int = 3,
+    rtol: float = 0.05,
+    atol: float = 0.0078,
+    h_init: float = 0.05,
+    accept_safety: float = 0.81,
+    max_steps: int = 200,
+    callback=None,
+    **_,
+):
+    """Adaptive order-3 DPM solver with PI step-size control (ref :1039-1114,
+    arXiv 2206.00927). Runs in t = −log σ space from sigma_max→sigma_min as a
+    ``lax.while_loop``; the trailing 0 sigma is handled by a final exact
+    denoise. Defaults match the reference's ``sample_dpm_adaptive`` call
+    (pcoeff=0, icoeff=1, dcoeff=0 → factor = inv_error^(1/order))."""
+    import numpy as np
+
+    sig_host = np.asarray(sigmas)  # schedule constants, known at trace time
+    ends_at_zero = float(sig_host[-1]) == 0.0
+    sigma_max = float(sig_host[0])
+    sigma_min = float(sig_host[sig_host > 0].min())
+    t_start = jnp.float32(-np.log(sigma_max))
+    t_end = jnp.float32(-np.log(sigma_min))
+
+    def sigma(t):
+        return jnp.exp(-t)
+
+    def eps_fn(xx, t):
+        s = sigma(t)
+        denoised = denoise_fn(xx, s)
+        return (xx - denoised) / s
+
+    def solver_23(xx, s, t):
+        """Order-2 (r1=1/3) and order-3 steps sharing eps evaluations."""
+        h = t - s
+        eps = eps_fn(xx, s)
+        r1, r2 = 1.0 / 3.0, 2.0 / 3.0
+        s1 = s + r1 * h
+        s2 = s + r2 * h
+        u1 = xx - sigma(s1) * jnp.expm1(r1 * h) * eps
+        eps_r1 = eps_fn(u1, s1)
+        # order-2 estimate (low)
+        x_low = (
+            xx
+            - sigma(t) * jnp.expm1(h) * eps
+            - sigma(t) / (2 * r1) * jnp.expm1(h) * (eps_r1 - eps)
+        )
+        # order-3 estimate (high)
+        u2 = (
+            xx
+            - sigma(s2) * jnp.expm1(r2 * h) * eps
+            - sigma(s2) * (r2 / r1) * (jnp.expm1(r2 * h) / (r2 * h) - 1)
+            * (eps_r1 - eps)
+        )
+        eps_r2 = eps_fn(u2, s2)
+        x_high = (
+            xx
+            - sigma(t) * jnp.expm1(h) * eps
+            - sigma(t) / r2 * (jnp.expm1(h) / h - 1) * (eps_r2 - eps)
+        )
+        return x_low, x_high
+
+    def cond(carry):
+        xx, x_prev, s, h, n_iter, n_accept = carry
+        return (s < t_end - 1e-5) & (n_iter < max_steps)
+
+    def body(carry):
+        xx, x_prev, s, h, n_iter, n_accept = carry
+        t = jnp.minimum(t_end, s + h)
+        x_low, x_high = solver_23(xx, s, t)
+        delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low), jnp.abs(x_prev)))
+        error = jnp.sqrt(jnp.mean(((x_low - x_high) / delta) ** 2))
+        inv_error = 1.0 / (error + 1e-8)
+        factor = 1.0 + jnp.arctan(inv_error ** (1.0 / order) - 1.0)  # limiter
+        accept = factor >= accept_safety
+        xx = jnp.where(accept, x_high, xx)
+        x_prev = jnp.where(accept, x_low, x_prev)
+        s = jnp.where(accept, t, s)
+        h = jnp.abs(h * factor)
+        _maybe_callback(callback, n_iter, xx, xx)
+        return (xx, x_prev, s, h, n_iter + 1, n_accept + accept.astype(jnp.int32))
+
+    init = (x, x, t_start, jnp.float32(h_init), jnp.int32(0), jnp.int32(0))
+    x, _, _, _, n_iter, n_accept = jax.lax.while_loop(cond, body, init)
+    # land exactly at sigma=0 when the schedule ends there: final denoise
+    if ends_at_zero:
+        x = denoise_fn(x, sigma(t_end))
+    return x
+
+
+SAMPLERS = {
+    "euler": sample_euler,
+    "euler_ancestral": sample_euler_ancestral,
+    "dpmpp_2m": sample_dpmpp_2m,
+    "dpmpp_2m_sde": sample_dpmpp_2m_sde,
+    "dpm_adaptive": sample_dpm_adaptive,
+    "ddim": sample_ddim,
+}
+
+
+def get_sampler(name: str):
+    if name not in SAMPLERS:
+        raise ValueError(f"unknown sampler {name!r}; have {list(SAMPLERS)}")
+    return SAMPLERS[name]

@@ -1,0 +1,190 @@
+"""SDPipeline: the user-facing model object + compiled program cache.
+
+Replaces the reference's ModelPatcher/CFGGuider/node plumbing
+(/root/reference/LightDiffusion.py L5-L7 layers) with one object holding the
+param pytrees and a cache of jit-compiled programs (sampling, decode, encode)
+keyed by static config — the TPU equivalent of stable-fast's trace cache
+(:9786-9868), except it is just ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..loader.checkpoint import StableDiffusion
+from ..models import unet as U
+from ..models import vae as V
+from ..models.clip import ClipTextEncoder
+from ..ops import layers as L
+from ..ops.resize import common_upscale
+from ..diffusion import sampling as SMP
+from ..diffusion.cfg import make_cfg_denoiser
+from ..diffusion.noise import prepare_noise
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleConfig:
+    """Static (compile-time) sampling configuration."""
+
+    steps: int = 20
+    sampler_name: str = "euler_ancestral"
+    scheduler: str = "karras"
+    denoise: float = 1.0
+    disable_noise: bool = False
+    cond_len: int = 77
+    uncond_len: int = 77
+
+
+class SDPipeline:
+    def __init__(
+        self,
+        sd: StableDiffusion,
+        policy: L.Policy = L.BF16,
+        vae_policy: L.Policy = L.FP32,
+        clip_skip: int = -1,
+    ):
+        self.sd = sd
+        self.policy = policy
+        self.vae_policy = vae_policy
+        self.clip = ClipTextEncoder(
+            sd.clip_params, sd.clip_config, policy=L.FP32, clip_skip=clip_skip
+        )
+        self.vae = V.VAE(sd.vae_params, sd.vae_config, policy=vae_policy)
+        self._programs: dict = {}
+        self._cond_cache: dict = {}
+
+    # ------------------------------------------------------------ text ------
+    def set_clip_skip(self, clip_skip: int):
+        self.clip.clip_layer(clip_skip)
+        self._cond_cache.clear()
+
+    def encode_text(self, text: str):
+        key = (text, self.clip.clip_skip)
+        if key not in self._cond_cache:
+            cond, pooled = self.clip.encode(text)
+            self._cond_cache[key] = (cond, pooled)
+        return self._cond_cache[key]
+
+    # --------------------------------------------------------- programs -----
+    def _sample_program(self, cfg_key: SampleConfig, sigmas_bytes: bytes):
+        """One jitted program: noise-scale → sampler scan → final latent."""
+        key = ("sample", cfg_key, sigmas_bytes)
+        if key in self._programs:
+            return self._programs[key]
+        sigmas = np.frombuffer(sigmas_bytes, dtype=np.float32)
+        ms = self.sd.model_sampling
+        unet_cfg = self.sd.unet_config
+        policy = self.policy
+
+        def unet_apply(params, x, t, ctx):
+            return U.apply_unet(params, x, t, ctx, cfg=unet_cfg, policy=policy)
+
+        @jax.jit
+        def program(unet_params, noise, latent, cond, uncond, cfg_scale, key):
+            denoise_fn = make_cfg_denoiser(
+                unet_apply, unet_params, cond, uncond, cfg_scale, ms
+            )
+            return SMP.sample(
+                denoise_fn, ms, noise, sigmas, latent=latent, key=key,
+                sampler_name=cfg_key.sampler_name,
+            )
+
+        self._programs[key] = program
+        return program
+
+    # ------------------------------------------------------------ core ------
+    def sample_latent(
+        self,
+        latent: jnp.ndarray,  # (B, h, w, 4) model-space latent
+        positive,
+        negative,
+        seed: int = 0,
+        steps: int = 20,
+        cfg: float = 7.0,
+        sampler_name: str = "euler_ancestral",
+        scheduler: str = "karras",
+        denoise: float = 1.0,
+        disable_noise: bool = False,
+    ) -> jnp.ndarray:
+        """The KSampler node (ref KSampler2.sample :6704 / common_ksampler
+        :6657): seeded noise + full jit'd sampling program."""
+        cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
+        uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
+        sigmas = SMP.sigmas_for(self.sd.model_sampling, scheduler, steps, denoise)
+        if sigmas.shape[0] == 0:
+            return latent
+        cfg_key = SampleConfig(
+            steps, sampler_name, scheduler, denoise, disable_noise,
+            cond.shape[1], uncond.shape[1],
+        )
+        program = self._sample_program(cfg_key, sigmas.tobytes())
+        noise = (
+            jnp.zeros_like(latent, dtype=jnp.float32)
+            if disable_noise
+            else prepare_noise(latent.astype(jnp.float32), seed)
+        )
+        return program(
+            self.sd.unet_params, noise, latent, cond, uncond,
+            jnp.float32(cfg), jax.random.PRNGKey(seed),
+        )
+
+    def empty_latent(self, width: int, height: int, batch: int = 1):
+        """EmptyLatentImage (ref :6628): zeros (B, H/8, W/8, 4)."""
+        r = self.sd.vae_config.downscale_ratio
+        return jnp.zeros((batch, height // r, width // r, 4), jnp.float32)
+
+    def decode(self, latent):
+        return self.vae.decode(latent)
+
+    def encode_image(self, pixels, seed: int = 0):
+        return self.vae.encode(pixels, key=jax.random.PRNGKey(seed))
+
+    def upscale_latent(self, latent, width, height, method="bislerp"):
+        """LatentUpscale (ref :6639): operates on latent (H/8) dims."""
+        r = self.sd.vae_config.downscale_ratio
+        return common_upscale(latent, width // r, height // r, method)
+
+
+def txt2img(
+    pipe: SDPipeline,
+    prompt: str,
+    negative_prompt: str = "",
+    width: int = 512,
+    height: int = 512,
+    steps: int = 20,
+    cfg: float = 7.0,
+    seed: int = 0,
+    sampler_name: str = "dpmpp_2m_sde",
+    scheduler: str = "karras",
+    batch: int = 1,
+    hires_fix: bool = False,
+    hires_steps: int = 10,
+    hires_denoise: float = 0.45,
+    hires_cfg: float = 8.0,
+) -> np.ndarray:
+    """Full txt2img (ref GUI flow :10483 / headless pipeline :10001):
+    encode → sample → [hires: bislerp ×2 + second pass] → decode.
+    Returns (B, H, W, 3) float32 in [0,1]."""
+    positive = pipe.encode_text(prompt)
+    negative = pipe.encode_text(negative_prompt)
+    latent = pipe.empty_latent(width, height, batch)
+    latent = pipe.sample_latent(
+        latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
+        sampler_name=sampler_name, scheduler=scheduler,
+    )
+    if hires_fix:
+        latent = pipe.upscale_latent(latent, width * 2, height * 2, "bislerp")
+        latent = pipe.sample_latent(
+            latent, positive, negative, seed=seed, steps=hires_steps,
+            cfg=hires_cfg, sampler_name="euler_ancestral", scheduler="normal",
+            denoise=hires_denoise,
+        )
+    return np.asarray(pipe.decode(latent))

@@ -1,0 +1,98 @@
+"""End-to-end txt2img pipeline at toy scale (random weights, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
+from lightdiffusion_tpu.models import unet as U, vae as V, clip as C
+from lightdiffusion_tpu.ops import layers as L
+from lightdiffusion_tpu.diffusion.parameterization import make_discrete_sampling
+from lightdiffusion_tpu.pipelines.sd import SDPipeline, txt2img
+
+
+TINY_UNET = U.UNetConfig(
+    model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
+    transformer_depth=(1, 0), context_dim=64, num_heads=2, attn_force="xla",
+)
+TINY_VAE = V.VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+TINY_CLIP = C.ClipConfig(hidden_size=64, num_layers=2, num_heads=2, intermediate_size=128)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    sd = StableDiffusion(
+        unet_params=U.init_unet_params(k[0], TINY_UNET),
+        unet_config=TINY_UNET,
+        clip_params=C.init_clip_params(k[1], TINY_CLIP),
+        clip_config=TINY_CLIP,
+        vae_params=V.init_vae_params(k[2], TINY_VAE),
+        vae_config=TINY_VAE,
+        model_sampling=make_discrete_sampling("eps"),
+    )
+    return SDPipeline(sd, policy=L.FP32, clip_skip=-2)
+
+
+def test_txt2img_end_to_end(pipe):
+    img = txt2img(
+        pipe, "a (cat:1.2) on a mat", "blurry", width=32, height=32,
+        steps=4, cfg=7.0, seed=42, sampler_name="euler_ancestral",
+    )
+    assert img.shape == (1, 32, 32, 3)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_txt2img_deterministic_per_seed(pipe):
+    a = txt2img(pipe, "cat", "", width=32, height=32, steps=3, seed=1)
+    b = txt2img(pipe, "cat", "", width=32, height=32, steps=3, seed=1)
+    c = txt2img(pipe, "cat", "", width=32, height=32, steps=3, seed=2)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-6
+
+
+def test_txt2img_all_samplers(pipe):
+    for name in ["euler", "euler_ancestral", "dpmpp_2m", "dpmpp_2m_sde", "dpm_adaptive"]:
+        img = txt2img(
+            pipe, "cat", "", width=32, height=32, steps=3, seed=0,
+            sampler_name=name,
+        )
+        assert np.isfinite(img).all(), name
+
+
+def test_hires_fix(pipe):
+    img = txt2img(
+        pipe, "cat", "", width=32, height=32, steps=3, seed=0,
+        hires_fix=True, hires_steps=2,
+    )
+    assert img.shape == (1, 64, 64, 3)
+    assert np.isfinite(img).all()
+
+
+def test_long_prompt_cfg_lcm_padding(pipe):
+    # positive is 2 chunks (154), negative 1 chunk (77) → lcm padding path
+    img = txt2img(
+        pipe, " ".join(["photorealistic"] * 60), "bad", width=32, height=32,
+        steps=2, seed=0,
+    )
+    assert np.isfinite(img).all()
+
+
+def test_partial_denoise_img2img_style(pipe):
+    latent = pipe.empty_latent(32, 32)
+    pos = pipe.encode_text("cat")
+    neg = pipe.encode_text("")
+    out = pipe.sample_latent(
+        latent, pos, neg, steps=4, denoise=0.5, sampler_name="euler_ancestral",
+    )
+    assert out.shape == latent.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_program_cache_reuse(pipe):
+    txt2img(pipe, "cat", "", width=32, height=32, steps=2, seed=0)
+    n = len(pipe._programs)
+    txt2img(pipe, "dog", "", width=32, height=32, steps=2, seed=3)
+    assert len(pipe._programs) == n  # same static config → no recompile

@@ -1,0 +1,144 @@
+"""Sampler correctness on analytically solvable problems (no weights needed).
+
+With denoised = a·x (linear denoiser), the probability-flow ODE
+dx/dσ = (x − denoised)/σ has exact solution x(σ) = x(σ₀)·(σ/σ₀)^(1−a).
+A perfect constant denoiser (denoised ≡ x0) must drive every sampler to x0.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lightdiffusion_tpu.diffusion import samplers as S
+from lightdiffusion_tpu.diffusion.schedules import get_sigmas_karras
+from lightdiffusion_tpu.diffusion.cfg import (
+    make_cfg_denoiser,
+    pad_context_to,
+    common_context_length,
+)
+from lightdiffusion_tpu.diffusion.parameterization import make_discrete_sampling
+
+
+SHAPE = (1, 8, 8, 4)
+
+
+def perfect_denoiser(x0):
+    return lambda x, sigma: jnp.broadcast_to(x0, x.shape)
+
+
+@pytest.mark.parametrize("name", S.KSAMPLER_NAMES)
+def test_all_samplers_reach_x0_with_perfect_denoiser(name):
+    x0 = jnp.full(SHAPE, 0.7)
+    sigmas = get_sigmas_karras(10, 0.0291675, 14.6146)
+    noise = jax.random.normal(jax.random.PRNGKey(0), SHAPE) * sigmas[0]
+    fn = S.get_sampler(name)
+    out = fn(perfect_denoiser(x0), noise, sigmas, key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out), 0.7, atol=5e-2)
+
+
+def test_euler_linear_ode_convergence():
+    a = 0.5
+    sig0, sig1 = 10.0, 0.1
+
+    def den(x, sigma):
+        return a * x
+
+    x_init = jnp.full(SHAPE, 2.0)
+    exact = 2.0 * (sig1 / sig0) ** (1 - a)
+    errs = []
+    for n in [20, 200]:
+        sigmas = jnp.concatenate(
+            [jnp.asarray(np.geomspace(sig0, sig1, n), jnp.float32)]
+        )
+        out = S.sample_euler(den, x_init, sigmas)
+        errs.append(abs(float(out[0, 0, 0, 0]) - exact))
+    assert errs[1] < errs[0] / 5  # converges with step count
+
+
+def test_dpmpp_2m_beats_euler_on_linear_ode():
+    a = 0.25
+    sig0, sig1 = 10.0, 0.1
+
+    def den(x, sigma):
+        return a * x
+
+    x_init = jnp.full(SHAPE, 2.0)
+    exact = 2.0 * (sig1 / sig0) ** (1 - a)
+    sigmas = jnp.asarray(np.geomspace(sig0, sig1, 12), jnp.float32)
+    e_euler = abs(float(S.sample_euler(den, x_init, sigmas)[0, 0, 0, 0]) - exact)
+    e_2m = abs(float(S.sample_dpmpp_2m(den, x_init, sigmas)[0, 0, 0, 0]) - exact)
+    assert e_2m < e_euler
+
+
+def test_dpm_adaptive_linear_ode():
+    a = 0.5
+    sig0, sig1 = 10.0, 0.05
+
+    def den(x, sigma):
+        return a * x
+
+    x_init = jnp.full(SHAPE, 2.0)
+    exact = 2.0 * (sig1 / sig0) ** (1 - a)
+    sigmas = jnp.asarray([sig0, sig1], jnp.float32)  # no trailing zero
+    out = S.sample_dpm_adaptive(den, x_init, sigmas)
+    np.testing.assert_allclose(float(out[0, 0, 0, 0]), exact, rtol=2e-2)
+
+
+def test_ancestral_determinism():
+    x0 = jnp.zeros(SHAPE)
+    sigmas = get_sigmas_karras(8, 0.03, 14.6)
+    noise = jax.random.normal(jax.random.PRNGKey(0), SHAPE) * sigmas[0]
+    den = perfect_denoiser(x0)
+    a = S.sample_euler_ancestral(den, noise, sigmas, key=jax.random.PRNGKey(5))
+    b = S.sample_euler_ancestral(den, noise, sigmas, key=jax.random.PRNGKey(5))
+    c = S.sample_euler_ancestral(den, noise, sigmas, key=jax.random.PRNGKey(6))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # trajectories differ mid-run for different seeds, but both end at x0;
+    # check with an imperfect denoiser instead
+    den2 = lambda x, s: 0.9 * x
+    a2 = S.sample_euler_ancestral(den2, noise, sigmas, key=jax.random.PRNGKey(5))
+    c2 = S.sample_euler_ancestral(den2, noise, sigmas, key=jax.random.PRNGKey(6))
+    assert np.abs(np.asarray(a2) - np.asarray(c2)).max() > 1e-4
+
+
+def test_sampler_jits_end_to_end():
+    sigmas = get_sigmas_karras(6, 0.03, 14.6)
+    den = lambda x, s: 0.5 * x
+
+    @jax.jit
+    def run(noise, key):
+        return S.sample_dpmpp_2m_sde(den, noise, sigmas, key)
+
+    out = run(jax.random.normal(jax.random.PRNGKey(0), SHAPE), jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# ------------------------------------------------------------------ CFG -----
+def test_cfg_denoiser_math():
+    ms = make_discrete_sampling()
+
+    # stub unet: returns eps = +1 for cond half, -1 for uncond half
+    def unet_apply(params, x, t, ctx):
+        b = x.shape[0] // 2
+        return jnp.concatenate(
+            [jnp.ones_like(x[:b]), -jnp.ones_like(x[b:])], axis=0
+        )
+
+    cond = jnp.zeros((1, 77, 8))
+    uncond = jnp.zeros((1, 77, 8))
+    den = make_cfg_denoiser(unet_apply, {}, cond, uncond, cfg_scale=3.0, model_sampling=ms)
+    x = jnp.zeros((1, 4, 4, 4))
+    out = den(x, jnp.asarray(2.0))
+    # denoised_cond = 0 - 1*2 = -2 ; denoised_uncond = 0 + 1*2 = 2
+    # cfg: 2 + (-2 - 2)*3 = -10
+    np.testing.assert_allclose(np.asarray(out), -10.0, rtol=1e-5)
+
+
+def test_context_padding_lcm():
+    assert common_context_length(77, 154) == 154
+    assert common_context_length(154, 231) == 462
+    c = jnp.arange(77 * 4, dtype=jnp.float32).reshape(1, 77, 4)
+    p = pad_context_to(c, 154)
+    assert p.shape == (1, 154, 4)
+    np.testing.assert_array_equal(np.asarray(p[:, 77:]), np.asarray(c))

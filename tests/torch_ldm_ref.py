@@ -222,3 +222,137 @@ class MiniLDMUNet(nn.Module):
                 else:
                     h = mod(h)
         return self.out(h)
+
+
+# ----------------------------------------------------------------- VAE ------
+class VAEResnet(nn.Module):
+    def __init__(self, cin, cout, groups=32):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(groups, cin, eps=1e-6)
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = nn.GroupNorm(groups, cout, eps=1e-6)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        if cin != cout:
+            self.nin_shortcut = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        if hasattr(self, "nin_shortcut"):
+            x = self.nin_shortcut(x)
+        return x + h
+
+
+class VAEAttn(nn.Module):
+    def __init__(self, c, groups=32):
+        super().__init__()
+        self.norm = nn.GroupNorm(groups, c, eps=1e-6)
+        self.q = nn.Conv2d(c, c, 1)
+        self.k = nn.Conv2d(c, c, 1)
+        self.v = nn.Conv2d(c, c, 1)
+        self.proj_out = nn.Conv2d(c, c, 1)
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        n = self.norm(x)
+        q = self.q(n).reshape(b, c, h * w).permute(0, 2, 1)
+        k = self.k(n).reshape(b, c, h * w)
+        v = self.v(n).reshape(b, c, h * w).permute(0, 2, 1)
+        a = torch.softmax(q @ k * (c ** -0.5), dim=-1)
+        o = (a @ v).permute(0, 2, 1).reshape(b, c, h, w)
+        return x + self.proj_out(o)
+
+
+class VAEDown(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = nn.Conv2d(c, c, 3, stride=2, padding=0)
+
+    def forward(self, x):
+        return self.conv(F.pad(x, (0, 1, 0, 1)))
+
+
+class VAEUp(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = nn.Conv2d(c, c, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv(F.interpolate(x, scale_factor=2.0, mode="nearest"))
+
+
+class MiniAutoencoderKL(nn.Module):
+    """LDM-layout AutoencoderKL at toy size (state-dict key compatible)."""
+
+    def __init__(self, ch=32, ch_mult=(1, 2), num_res=1, z=4, groups=32):
+        super().__init__()
+        levels = len(ch_mult)
+
+        enc = nn.Module()
+        enc.conv_in = nn.Conv2d(3, ch, 3, padding=1)
+        enc.down = nn.ModuleList()
+        cin = ch
+        for lv, mult in enumerate(ch_mult):
+            cout = ch * mult
+            m = nn.Module()
+            m.block = nn.ModuleList()
+            for _ in range(num_res):
+                m.block.append(VAEResnet(cin, cout, groups))
+                cin = cout
+            if lv != levels - 1:
+                m.downsample = VAEDown(cin)
+            enc.down.append(m)
+        enc.mid = nn.Module()
+        enc.mid.block_1 = VAEResnet(cin, cin, groups)
+        enc.mid.attn_1 = VAEAttn(cin, groups)
+        enc.mid.block_2 = VAEResnet(cin, cin, groups)
+        enc.norm_out = nn.GroupNorm(groups, cin, eps=1e-6)
+        enc.conv_out = nn.Conv2d(cin, 2 * z, 3, padding=1)
+        self.encoder = enc
+        self.quant_conv = nn.Conv2d(2 * z, 2 * z, 1)
+
+        dec = nn.Module()
+        dec.conv_in = nn.Conv2d(z, cin, 3, padding=1)
+        dec.mid = nn.Module()
+        dec.mid.block_1 = VAEResnet(cin, cin, groups)
+        dec.mid.attn_1 = VAEAttn(cin, groups)
+        dec.mid.block_2 = VAEResnet(cin, cin, groups)
+        dec.up = nn.ModuleList([nn.Module() for _ in range(levels)])
+        c = cin
+        for lv in reversed(range(levels)):
+            cout = ch * ch_mult[lv]
+            m = dec.up[lv]
+            m.block = nn.ModuleList()
+            for _ in range(num_res + 1):
+                m.block.append(VAEResnet(c, cout, groups))
+                c = cout
+            if lv != 0:
+                m.upsample = VAEUp(c)
+        dec.norm_out = nn.GroupNorm(groups, ch, eps=1e-6)
+        dec.conv_out = nn.Conv2d(ch, 3, 3, padding=1)
+        self.decoder = dec
+        self.post_quant_conv = nn.Conv2d(z, z, 1)
+        self.levels = levels
+        self.num_res = num_res
+
+    def encode_moments(self, x):
+        h = self.encoder.conv_in(x)
+        for lv, m in enumerate(self.encoder.down):
+            for b in m.block:
+                h = b(h)
+            if hasattr(m, "downsample"):
+                h = m.downsample(h)
+        h = self.encoder.mid.block_2(self.encoder.mid.attn_1(self.encoder.mid.block_1(h)))
+        h = self.encoder.conv_out(F.silu(self.encoder.norm_out(h)))
+        return self.quant_conv(h)
+
+    def decode(self, z):
+        h = self.decoder.conv_in(self.post_quant_conv(z))
+        h = self.decoder.mid.block_2(self.decoder.mid.attn_1(self.decoder.mid.block_1(h)))
+        for lv in reversed(range(self.levels)):
+            m = self.decoder.up[lv]
+            for b in m.block:
+                h = b(h)
+            if hasattr(m, "upsample"):
+                h = m.upsample(h)
+        return self.decoder.conv_out(F.silu(self.decoder.norm_out(h)))
