@@ -22,6 +22,8 @@ def log(*a):
 
 
 def main():
+    from lightdiffusion_tpu.runtime.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from lightdiffusion_tpu.loader.checkpoint import init_random

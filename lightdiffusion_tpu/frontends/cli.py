@@ -1,0 +1,135 @@
+"""Command-line frontend.
+
+The reference defines an argparse EnumAction but never builds a parser
+(SURVEY §5.6, LightDiffusion.py:666-680, args_parsing=False) — all its config
+is GUI state. This CLI exposes the same workload surface properly:
+
+  python -m lightdiffusion_tpu.frontends.cli txt2img "a cat" --hires-fix
+  python -m lightdiffusion_tpu.frontends.cli img2img in.png --scale 2
+  python -m lightdiffusion_tpu.frontends.cli pipeline "a cat"   # ref :10001
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="lightdiffusion-tpu")
+    p.add_argument("--verbose", action="store_true")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--checkpoint", default=None)
+        sp.add_argument("--lora", action="append", default=[],
+                        metavar="NAME[:STRENGTH]",
+                        help="LoRA to merge (repeatable)")
+        sp.add_argument("--clip-skip", type=int, default=-2)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--random-init", action="store_true",
+                        help="random weights (smoke runs without checkpoints)")
+        sp.add_argument("--output-prefix", default="LD")
+
+    t = sub.add_parser("txt2img", help="text → image")
+    common(t)
+    t.add_argument("prompt")
+    t.add_argument("--negative", default="")
+    t.add_argument("--width", type=int, default=512)
+    t.add_argument("--height", type=int, default=512)
+    t.add_argument("--steps", type=int, default=20)
+    t.add_argument("--cfg", type=float, default=7.0)
+    t.add_argument("--sampler", default="dpmpp_2m_sde")
+    t.add_argument("--scheduler", default="karras")
+    t.add_argument("--batch", type=int, default=1)
+    t.add_argument("--hires-fix", action="store_true")
+    t.add_argument("--hires-steps", type=int, default=10)
+    t.add_argument("--hires-denoise", type=float, default=0.45)
+
+    i = sub.add_parser("img2img", help="image → upscaled/refined image (USDU)")
+    common(i)
+    i.add_argument("image")
+    i.add_argument("--prompt", default="")
+    i.add_argument("--negative", default="")
+    i.add_argument("--scale", type=float, default=2.0)
+    i.add_argument("--steps", type=int, default=8)
+    i.add_argument("--cfg", type=float, default=6.0)
+    i.add_argument("--denoise", type=float, default=0.3)
+    i.add_argument("--tile", type=int, default=512)
+
+    pl = sub.add_parser("pipeline", help="reference headless pipeline (ref :10001)")
+    common(pl)
+    pl.add_argument("prompt")
+    pl.add_argument("--width", type=int, default=512)
+    pl.add_argument("--height", type=int, default=512)
+    pl.add_argument("--number", type=int, default=1)
+    pl.add_argument("--no-enhance", action="store_true")
+    return p
+
+
+def _parse_loras(items):
+    out = []
+    for it in items:
+        name, _, s = it.partition(":")
+        strength = float(s) if s else 1.0
+        out.append((name, strength, strength))
+    return out
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        format="%(message)s",
+        level=logging.DEBUG if args.verbose else logging.INFO,
+    )
+    from ..runtime.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from .headless import load_default_pipeline, pipeline
+    from ..nodes import SaveImage
+    from ..pipelines.sd import txt2img
+
+    t0 = time.time()
+    if args.command == "pipeline":
+        pipeline(
+            args.prompt, args.width, args.height, args.number,
+            enhance=not args.no_enhance, random_init=args.random_init,
+            seed=args.seed,
+        )
+    elif args.command == "txt2img":
+        pipe = load_default_pipeline(
+            checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
+            clip_skip=args.clip_skip, random_init=args.random_init,
+        )
+        imgs = txt2img(
+            pipe, args.prompt, args.negative, width=args.width,
+            height=args.height, steps=args.steps, cfg=args.cfg,
+            seed=args.seed, sampler_name=args.sampler,
+            scheduler=args.scheduler, batch=args.batch,
+            hires_fix=args.hires_fix, hires_steps=args.hires_steps,
+            hires_denoise=args.hires_denoise,
+        )
+        SaveImage().save_images(imgs, args.output_prefix)
+    elif args.command == "img2img":
+        import numpy as np
+        from PIL import Image
+        from ..postprocess.usdu import ultimate_sd_upscale
+
+        pipe = load_default_pipeline(
+            checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
+            clip_skip=args.clip_skip, random_init=args.random_init,
+        )
+        img = np.asarray(Image.open(args.image).convert("RGB"), np.float32) / 255.0
+        out = ultimate_sd_upscale(
+            pipe, img[None], args.prompt, args.negative,
+            upscale_by=args.scale, steps=args.steps, cfg=args.cfg,
+            denoise=args.denoise, tile_width=args.tile, tile_height=args.tile,
+            seed=args.seed,
+        )
+        SaveImage().save_images(out, args.output_prefix + "-img2img")
+    print(f"done in {time.time()-t0:.1f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

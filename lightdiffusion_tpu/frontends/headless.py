@@ -1,0 +1,100 @@
+"""Headless generation entry (the reference's Discord-bot ``pipeline``).
+
+Behavioral parity target: ``pipeline(prompt, w, h)``
+(/root/reference/LightDiffusion.py:10001-10087): load checkpoint →
+add_detail LoRA 0.7/0.7 → clip-skip −2 → encode (hardcoded negative with
+embeddings) → dpm_adaptive/karras 40 steps cfg 7 → bislerp ×2 →
+euler_ancestral/normal 10 steps denoise 0.45 cfg 8 → decode → save.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax
+
+from .. import assets
+from ..loader import checkpoint as CKPT
+from ..pipelines.sd import SDPipeline, txt2img
+from ..nodes import SaveImage
+from .enhancer import enhance_prompt
+
+log = logging.getLogger(__name__)
+
+DEFAULT_NEGATIVE = (
+    "(worst quality, low quality:1.4), embedding:badhandv4, (deformed, "
+    "distorted, disfigured:1.3), bad anatomy, extra limb, missing limb"
+)
+
+
+def load_default_pipeline(
+    checkpoint: str | None = None,
+    loras: list[tuple[str, float, float]] | None = None,
+    clip_skip: int = -2,
+    random_init: bool = False,
+) -> SDPipeline:
+    """Load the first available checkpoint (+ add_detail LoRA if present,
+    ref :10021-10031); ``random_init`` enables weightless smoke runs."""
+    if random_init:
+        return SDPipeline(CKPT.init_random(), clip_skip=clip_skip)
+    names = assets.list_files("checkpoints")
+    if checkpoint is None:
+        if not names:
+            raise FileNotFoundError(
+                "no checkpoints found — put an SD1.5 .safetensors under "
+                "_internal/checkpoints/ or set $LDT_ASSETS (or pass "
+                "random_init=True for a smoke run)"
+            )
+        checkpoint = names[0]
+    path = assets.resolve_file("checkpoints", checkpoint)
+    if loras is None:
+        loras = []
+        try:
+            assets.resolve_file("loras", "add_detail")
+            loras = [("add_detail", 0.7, 0.7)]  # ref :10021
+        except FileNotFoundError:
+            pass
+    lora_args = [
+        (assets.resolve_file("loras", n), sm, sc) for (n, sm, sc) in loras
+    ]
+    sd = CKPT.load_checkpoint(path, loras=lora_args)
+    return SDPipeline(sd, clip_skip=clip_skip)
+
+
+def pipeline(
+    prompt: str,
+    w: int = 512,
+    h: int = 512,
+    number: int = 1,
+    pipe: SDPipeline | None = None,
+    enhance: bool = True,
+    save: bool = True,
+    seed: int = 0,
+    random_init: bool = False,
+) -> np.ndarray:
+    """(ref :10001) Returns the final images (B,H,W,3) in [0,1]."""
+    if pipe is None:
+        pipe = load_default_pipeline(random_init=random_init)
+    if enhance:
+        prompt = enhance_prompt(prompt)
+    imgs = txt2img(
+        pipe,
+        prompt,
+        DEFAULT_NEGATIVE,
+        width=w,
+        height=h,
+        steps=40,
+        cfg=7.0,
+        seed=seed,
+        sampler_name="dpm_adaptive",
+        scheduler="karras",
+        batch=number,
+        hires_fix=True,
+        hires_steps=10,
+        hires_denoise=0.45,
+        hires_cfg=8.0,
+    )
+    if save:
+        SaveImage().save_images(imgs, "LD-HiRes")
+    return imgs

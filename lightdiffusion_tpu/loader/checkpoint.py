@@ -84,6 +84,10 @@ class StableDiffusion:
     vae_params: dict
     vae_config: VAEConfig
     model_sampling: DiscreteSampling
+    # retained flat checkpoint (host numpy) so LoRAs can be re-merged without
+    # re-reading the file; None for random-init models
+    flat_sd: dict | None = dataclasses.field(default=None, repr=False)
+    dtypes: tuple = (jnp.bfloat16, jnp.float32, jnp.float32)  # unet/clip/vae
 
     def param_count(self) -> int:
         return sum(
@@ -100,11 +104,13 @@ def load_checkpoint(
     clip_dtype=jnp.float32,
     vae_dtype=jnp.float32,
     prediction_type: str = "eps",
+    loras: list[tuple[str | Path, float, float]] | None = None,
 ) -> StableDiffusion:
     """Load + config-sniff + convert an SD1.x checkpoint (ref :6426).
 
     Dtype defaults mirror the reference's policy (UNet fp16→bf16 on TPU,
     VAE fp32, text encoder fp16→fp32 here since it is tiny; :1883-1956).
+    ``loras``: [(path, strength_model, strength_clip), ...] merged at load.
     """
     sd = load_torch_file(path)
     unet_config = detect_unet_config(sd)
@@ -112,20 +118,49 @@ def load_checkpoint(
         "checkpoint %s: %.1fM params, unet config %s",
         Path(path).name, calculate_parameters(sd) / 1e6, unet_config,
     )
-    unet_params = convert_unet(sd, unet_config, dtype=unet_dtype)
-    vae_params = convert_vae(sd, SD15_VAE, dtype=vae_dtype)
-    clip_params = convert_clip_text_model(sd, dtype=clip_dtype)
     if "model.diffusion_model.v_pred" in sd:
         prediction_type = "v"
-    return StableDiffusion(
-        unet_params=unet_params,
-        unet_config=unet_config,
-        clip_params=clip_params,
-        clip_config=SD1_CLIP,
-        vae_params=vae_params,
-        vae_config=SD15_VAE,
-        model_sampling=make_discrete_sampling(prediction_type),
+    out = _convert_all(
+        sd, unet_config, unet_dtype, clip_dtype, vae_dtype, prediction_type
     )
+    if loras:
+        out = apply_loras(
+            out, [(load_torch_file(p), sm, sc) for (p, sm, sc) in loras]
+        )
+    return out
+
+
+def _convert_all(sd, unet_config, unet_dtype, clip_dtype, vae_dtype, pred):
+    return StableDiffusion(
+        unet_params=convert_unet(sd, unet_config, dtype=unet_dtype),
+        unet_config=unet_config,
+        clip_params=convert_clip_text_model(sd, dtype=clip_dtype),
+        clip_config=SD1_CLIP,
+        vae_params=convert_vae(sd, SD15_VAE, dtype=vae_dtype),
+        vae_config=SD15_VAE,
+        model_sampling=make_discrete_sampling(pred),
+        flat_sd=sd,
+        dtypes=(unet_dtype, clip_dtype, vae_dtype),
+    )
+
+
+def apply_loras(
+    model: StableDiffusion, loras: list[tuple[dict, float, float]]
+) -> StableDiffusion:
+    """Functional LoRA merge: base flat dict + deltas → fresh param trees
+    (the reference's LoraLoader + ModelPatcher.add_patches collapse,
+    :6611/:3297). Requires the model to retain its flat_sd."""
+    from .lora import apply_loras_to_checkpoint
+
+    if model.flat_sd is None:
+        raise ValueError("model has no retained flat state dict (random init?)")
+    merged = apply_loras_to_checkpoint(model.flat_sd, model.unet_config, loras)
+    unet_dtype, clip_dtype, vae_dtype = model.dtypes
+    out = _convert_all(
+        merged, model.unet_config, unet_dtype, clip_dtype, vae_dtype,
+        model.model_sampling.prediction_type,
+    )
+    return dataclasses.replace(out, flat_sd=model.flat_sd)
 
 
 def init_random(

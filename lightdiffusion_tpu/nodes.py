@@ -1,0 +1,184 @@
+"""Node/op API — the reference's public surface (ComfyUI-style classes).
+
+Behavioral parity targets (/root/reference/LightDiffusion.py §2.16, :6516-6766):
+``CheckpointLoaderSimple`` :6591, ``CLIPTextEncode`` :6573,
+``CLIPSetLastLayer`` :6604, ``LoraLoader`` :6611, ``EmptyLatentImage`` :6628,
+``LatentUpscale`` :6639 (bislerp), ``KSampler`` :6704 / ``common_ksampler``
+:6657, ``VAEDecode``/``VAEEncode`` :6580/:6585, ``SaveImage`` :6732,
+``UpscaleModelLoader`` :7260, ``ImageUpscaleWithModel`` :7356.
+
+Conventions kept from the reference so its users can switch:
+  - conditioning is ``[[cond, {"pooled_output": pooled}]]``
+  - latents are ``{"samples": array}`` dicts
+  - images are float arrays in [0,1]
+Layout differs on purpose: everything is NHWC (TPU-native), batch leading.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import assets
+from .loader import checkpoint as CKPT
+from .pipelines.sd import SDPipeline
+from .ops.resize import common_upscale
+
+MAX_RESOLUTION = 8192  # ref :6570 uses 16384/8=2048 px; we allow more
+
+
+class CheckpointLoaderSimple:
+    """(ref :6591) → (pipeline-model, clip, vae)."""
+
+    def load_checkpoint(self, ckpt_name: str, policy=None, clip_skip: int = -1):
+        path = assets.resolve_file("checkpoints", ckpt_name)
+        sd = CKPT.load_checkpoint(path)
+        pipe = SDPipeline(sd, clip_skip=clip_skip)
+        return (pipe, pipe.clip, pipe.vae)
+
+
+class CLIPSetLastLayer:
+    """(ref :6604)"""
+
+    def set_last_layer(self, clip, stop_at_clip_layer: int):
+        clip.clip_layer(stop_at_clip_layer)
+        return (clip,)
+
+
+class CLIPTextEncode:
+    """(ref :6573) → [[cond, {"pooled_output": pooled}]]"""
+
+    def encode(self, clip, text: str):
+        cond, pooled = clip.encode(text)
+        return ([[cond, {"pooled_output": pooled}]],)
+
+
+class LoraLoader:
+    """(ref :6611): merges a LoRA functionally and returns a NEW pipeline."""
+
+    def load_lora(self, model: SDPipeline, clip, lora_name: str,
+                  strength_model: float, strength_clip: float):
+        if strength_model == 0 and strength_clip == 0:
+            return (model, clip)
+        path = assets.resolve_file("loras", lora_name)
+        lora_sd = CKPT.load_torch_file(path)
+        new_sd = CKPT.apply_loras(
+            model.sd, [(lora_sd, strength_model, strength_clip)]
+        )
+        pipe = SDPipeline(
+            new_sd, policy=model.policy, vae_policy=model.vae_policy,
+            clip_skip=model.clip.clip_skip,
+        )
+        return (pipe, pipe.clip)
+
+
+class EmptyLatentImage:
+    """(ref :6628)"""
+
+    def generate(self, width: int, height: int, batch_size: int = 1):
+        r = 8
+        return ({"samples": jnp.zeros((batch_size, height // r, width // r, 4), jnp.float32)},)
+
+
+class LatentUpscale:
+    """(ref :6639) — bislerp and friends on latents."""
+
+    upscale_methods = ["nearest-exact", "bilinear", "area", "bicubic", "bislerp"]
+
+    def upscale(self, samples: dict, upscale_method: str, width: int,
+                height: int, crop: str = "disabled"):
+        s = common_upscale(
+            samples["samples"], width // 8, height // 8, upscale_method, crop
+        )
+        return ({"samples": s},)
+
+
+def common_ksampler(model: SDPipeline, seed, steps, cfg, sampler_name,
+                    scheduler, positive, negative, latent, denoise=1.0,
+                    disable_noise=False):
+    """(ref :6657)"""
+    cond = positive[0][0] if isinstance(positive, list) else positive
+    uncond = negative[0][0] if isinstance(negative, list) else negative
+    out = model.sample_latent(
+        latent["samples"], cond, uncond, seed=seed, steps=steps, cfg=cfg,
+        sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,
+        disable_noise=disable_noise,
+    )
+    return ({"samples": out},)
+
+
+class KSampler:
+    """(ref KSampler2 :6704)"""
+
+    def sample(self, model, seed, steps, cfg, sampler_name, scheduler,
+               positive, negative, latent_image, denoise=1.0):
+        return common_ksampler(
+            model, seed, steps, cfg, sampler_name, scheduler,
+            positive, negative, latent_image, denoise,
+        )
+
+
+class VAEDecode:
+    """(ref :6580)"""
+
+    def decode(self, vae, samples: dict):
+        return (vae.decode(samples["samples"]),)
+
+
+class VAEEncode:
+    """(ref :6585)"""
+
+    def encode(self, vae, pixels):
+        return ({"samples": vae.encode(pixels)},)
+
+
+# ------------------------------------------------------------ image save ----
+def get_save_image_path(filename_prefix: str, output_dir: Path):
+    """Counter-named output paths (ref :6531-6567)."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    counter = 0
+    for p in output_dir.glob(f"{filename_prefix}_*.png"):
+        try:
+            counter = max(counter, int(p.stem.split("_")[-1]))
+        except ValueError:
+            pass
+    return output_dir, filename_prefix, counter + 1
+
+
+class SaveImage:
+    """(ref :6732): PNGs under the output dir with monotonic numbering."""
+
+    def save_images(self, images, filename_prefix: str = "LD"):
+        from PIL import Image
+
+        out_dir, prefix, counter = get_save_image_path(
+            filename_prefix, assets.output_dir()
+        )
+        results = []
+        arr = np.asarray(images)
+        for i in range(arr.shape[0]):
+            img = Image.fromarray(
+                (np.clip(arr[i], 0, 1) * 255).astype(np.uint8)
+            )
+            fname = f"{prefix}_{counter + i:05d}.png"
+            img.save(out_dir / fname)
+            results.append(str(out_dir / fname))
+        return {"ui": {"images": results}}
+
+
+NODE_CLASS_MAPPINGS = {
+    "CheckpointLoaderSimple": CheckpointLoaderSimple,
+    "CLIPSetLastLayer": CLIPSetLastLayer,
+    "CLIPTextEncode": CLIPTextEncode,
+    "LoraLoader": LoraLoader,
+    "EmptyLatentImage": EmptyLatentImage,
+    "LatentUpscale": LatentUpscale,
+    "KSampler": KSampler,
+    "VAEDecode": VAEDecode,
+    "VAEEncode": VAEEncode,
+    "SaveImage": SaveImage,
+}

@@ -1,0 +1,98 @@
+"""Frontends: CLI arg parsing, persistence round-trip, SaveImage numbering,
+prompt enhancer gating."""
+
+import numpy as np
+import pytest
+
+from lightdiffusion_tpu.frontends.cli import build_parser, _parse_loras
+from lightdiffusion_tpu.frontends import persistence as P
+from lightdiffusion_tpu.frontends.enhancer import enhance_prompt
+
+
+def test_cli_parser_txt2img():
+    args = build_parser().parse_args(
+        ["txt2img", "a cat", "--steps", "12", "--hires-fix",
+         "--lora", "add_detail:0.7", "--clip-skip", "-2"]
+    )
+    assert args.command == "txt2img"
+    assert args.prompt == "a cat"
+    assert args.steps == 12 and args.hires_fix
+    assert _parse_loras(args.lora) == [("add_detail", 0.7, 0.7)]
+
+
+def test_cli_parser_pipeline_and_img2img():
+    a = build_parser().parse_args(["pipeline", "hello", "--number", "2"])
+    assert a.command == "pipeline" and a.number == 2
+    b = build_parser().parse_args(["img2img", "x.png", "--scale", "2.5"])
+    assert b.command == "img2img" and b.scale == 2.5
+
+
+def test_persistence_roundtrip(tmp_path):
+    p = tmp_path / "prompt.txt"
+    params = P.SessionParams("a cat", "blurry", 768, 512, 8.0)
+    P.write_parameters_to_file(params, p)
+    loaded = P.load_parameters_from_file(p)
+    assert loaded.prompt == "a cat"
+    assert loaded.neg == "blurry"
+    assert loaded.width == 768 and loaded.height == 512
+    assert loaded.cfg == 8.0
+
+
+def test_persistence_missing_file(tmp_path):
+    loaded = P.load_parameters_from_file(tmp_path / "nope.txt")
+    assert loaded.width == 512
+
+
+def test_enhancer_falls_back_without_ollama():
+    assert enhance_prompt("a cat") == "a cat"
+
+
+def test_save_image_numbering(tmp_path, monkeypatch):
+    from lightdiffusion_tpu import assets
+    from lightdiffusion_tpu.nodes import SaveImage
+
+    monkeypatch.setenv("LDT_OUTPUT", str(tmp_path))
+    imgs = np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32)
+    r1 = SaveImage().save_images(imgs, "T")
+    r2 = SaveImage().save_images(imgs[:1], "T")
+    names = sorted(p.name for p in tmp_path.glob("T_*.png"))
+    assert names == ["T_00001.png", "T_00002.png", "T_00003.png"]
+    assert len(r1["ui"]["images"]) == 2 and len(r2["ui"]["images"]) == 1
+
+
+def test_nodes_api_roundtrip():
+    """Node-graph style composition on the tiny pipeline."""
+    import jax
+    from tests.test_pipeline import TINY_UNET, TINY_VAE, TINY_CLIP
+    from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
+    from lightdiffusion_tpu.models import unet as U, vae as V, clip as C
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.diffusion.parameterization import make_discrete_sampling
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+    from lightdiffusion_tpu import nodes as N
+
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    sd = StableDiffusion(
+        unet_params=U.init_unet_params(k[0], TINY_UNET), unet_config=TINY_UNET,
+        clip_params=C.init_clip_params(k[1], TINY_CLIP), clip_config=TINY_CLIP,
+        vae_params=V.init_vae_params(k[2], TINY_VAE), vae_config=TINY_VAE,
+        model_sampling=make_discrete_sampling("eps"),
+    )
+    pipe = SDPipeline(sd, policy=L.FP32)
+    clip, vae = pipe.clip, pipe.vae
+
+    (clip,) = N.CLIPSetLastLayer().set_last_layer(clip, -2)
+    (pos,) = N.CLIPTextEncode().encode(clip, "a cat")
+    (neg,) = N.CLIPTextEncode().encode(clip, "")
+    assert "pooled_output" in pos[0][1]
+    (latent,) = N.EmptyLatentImage().generate(32, 32)
+    (out,) = N.KSampler().sample(
+        pipe, 0, 2, 7.0, "euler_ancestral", "karras", pos, neg, latent
+    )
+    (up,) = N.LatentUpscale().upscale(out, "bislerp", 64, 64)
+    assert up["samples"].shape == (1, 8, 8, 4)
+    (img,) = N.VAEDecode().decode(vae, up)
+    # TINY_VAE has downscale ratio 2 (2 levels), not SD's 8
+    assert img.shape == (1, 16, 16, 3)
+    (re_lat,) = N.VAEEncode().encode(vae, img)
+    assert re_lat["samples"].shape == (1, 8, 8, 4)

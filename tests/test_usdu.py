@@ -1,0 +1,80 @@
+"""UltimateSDUpscale engine smoke + mask-op unit tests."""
+
+import numpy as np
+import jax
+import pytest
+
+from lightdiffusion_tpu.postprocess import maskops as M
+from lightdiffusion_tpu.postprocess.usdu import ultimate_sd_upscale, upscale_image
+
+
+def test_gaussian_blur_mass_preserved():
+    m = np.zeros((32, 32), np.float32)
+    m[12:20, 12:20] = 1.0
+    b = M.gaussian_blur(m, 4)
+    assert 0 < b[10, 10] < 1.0
+    np.testing.assert_allclose(b.sum(), m.sum(), rtol=0.05)
+
+
+def test_crop_region_and_expand():
+    m = np.zeros((64, 64), np.float32)
+    m[10:20, 30:40] = 1.0
+    x1, y1, x2, y2 = M.get_crop_region(m, pad=4)
+    assert (x1, y1, x2, y2) == (26, 6, 44, 24)
+    (ex1, ey1, ex2, ey2), (tw, th) = M.expand_crop((x1, y1, x2, y2), 64, 64, 32, 32)
+    assert tw == 32 and th == 32
+    assert ex1 >= 0 and ey2 <= 64
+
+
+def test_dilate_mask():
+    m = np.zeros((16, 16), np.float32)
+    m[8, 8] = 1.0
+    d = M.dilate_mask(m, 2)
+    assert d.sum() > 1
+    e = M.dilate_mask(d, -1)
+    assert 1 <= e.sum() < d.sum()
+
+
+def test_paste_masked():
+    dst = np.zeros((8, 8, 3), np.float32)
+    src = np.ones((4, 4, 3), np.float32)
+    mask = np.full((4, 4), 0.5, np.float32)
+    M.paste_masked(dst, src, 2, 2, mask)
+    assert dst[3, 3, 0] == 0.5 and dst[0, 0, 0] == 0.0
+
+
+def test_upscale_image_lanczos_only():
+    img = np.random.RandomState(0).rand(1, 16, 16, 3).astype(np.float32)
+    out = upscale_image(img, 32, 32, esrgan=None)
+    assert out.shape == (1, 32, 32, 3)
+    assert out.min() >= 0 and out.max() <= 1
+
+
+def test_usdu_end_to_end():
+    from tests.test_pipeline import TINY_UNET, TINY_VAE, TINY_CLIP
+    from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
+    from lightdiffusion_tpu.models import unet as U, vae as V, clip as C
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.diffusion.parameterization import make_discrete_sampling
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    sd = StableDiffusion(
+        unet_params=U.init_unet_params(k[0], TINY_UNET),
+        unet_config=TINY_UNET,
+        clip_params=C.init_clip_params(k[1], TINY_CLIP),
+        clip_config=TINY_CLIP,
+        vae_params=V.init_vae_params(k[2], TINY_VAE),
+        vae_config=TINY_VAE,
+        model_sampling=make_discrete_sampling("eps"),
+    )
+    pipe = SDPipeline(sd, policy=L.FP32)
+    img = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+    out = ultimate_sd_upscale(
+        pipe, img, "a cat", "", upscale_by=2.0, steps=2, denoise=0.4,
+        tile_width=32, tile_height=32, mask_blur=4, padding=8,
+        seam_fix_mode="Half Tile", seam_fix_denoise=0.3, seed=0,
+    )
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0 and out.max() <= 1

@@ -356,3 +356,114 @@ class MiniAutoencoderKL(nn.Module):
             if hasattr(m, "upsample"):
                 h = m.upsample(h)
         return self.decoder.conv_out(F.silu(self.decoder.norm_out(h)))
+
+
+# ---------------------------------------------------------------- TAESD -----
+def _taesd_conv(n_in, n_out, **kw):
+    return nn.Conv2d(n_in, n_out, 3, padding=1, **kw)
+
+
+class TaesdClamp(nn.Module):
+    def forward(self, x):
+        return torch.tanh(x / 3) * 3
+
+
+class TaesdBlock(nn.Module):
+    def __init__(self, n_in, n_out):
+        super().__init__()
+        self.conv = nn.Sequential(
+            _taesd_conv(n_in, n_out), nn.ReLU(),
+            _taesd_conv(n_out, n_out), nn.ReLU(), _taesd_conv(n_out, n_out),
+        )
+        self.skip = (
+            nn.Conv2d(n_in, n_out, 1, bias=False) if n_in != n_out else nn.Identity()
+        )
+        self.fuse = nn.ReLU()
+
+    def forward(self, x):
+        return self.fuse(self.conv(x) + self.skip(x))
+
+
+def taesd_decoder_torch():
+    return nn.Sequential(
+        TaesdClamp(), _taesd_conv(4, 64), nn.ReLU(),
+        TaesdBlock(64, 64), TaesdBlock(64, 64), TaesdBlock(64, 64),
+        nn.Upsample(scale_factor=2), _taesd_conv(64, 64, bias=False),
+        TaesdBlock(64, 64), TaesdBlock(64, 64), TaesdBlock(64, 64),
+        nn.Upsample(scale_factor=2), _taesd_conv(64, 64, bias=False),
+        TaesdBlock(64, 64), TaesdBlock(64, 64), TaesdBlock(64, 64),
+        nn.Upsample(scale_factor=2), _taesd_conv(64, 64, bias=False),
+        TaesdBlock(64, 64), _taesd_conv(64, 3),
+    )
+
+
+def taesd_encoder_torch():
+    return nn.Sequential(
+        _taesd_conv(3, 64), TaesdBlock(64, 64),
+        _taesd_conv(64, 64, stride=2, bias=False),
+        TaesdBlock(64, 64), TaesdBlock(64, 64), TaesdBlock(64, 64),
+        _taesd_conv(64, 64, stride=2, bias=False),
+        TaesdBlock(64, 64), TaesdBlock(64, 64), TaesdBlock(64, 64),
+        _taesd_conv(64, 64, stride=2, bias=False),
+        TaesdBlock(64, 64), TaesdBlock(64, 64), TaesdBlock(64, 64),
+        _taesd_conv(64, 4),
+    )
+
+
+# --------------------------------------------------------------- RRDBNet ----
+class RDB5C(nn.Module):
+    def __init__(self, nf=32, gc=16):
+        super().__init__()
+        self.conv1 = nn.Conv2d(nf, gc, 3, padding=1)
+        self.conv2 = nn.Conv2d(nf + gc, gc, 3, padding=1)
+        self.conv3 = nn.Conv2d(nf + 2 * gc, gc, 3, padding=1)
+        self.conv4 = nn.Conv2d(nf + 3 * gc, gc, 3, padding=1)
+        self.conv5 = nn.Conv2d(nf + 4 * gc, nf, 3, padding=1)
+        self.act = nn.LeakyReLU(0.2)
+
+    def forward(self, x):
+        x1 = self.act(self.conv1(x))
+        x2 = self.act(self.conv2(torch.cat([x, x1], 1)))
+        x3 = self.act(self.conv3(torch.cat([x, x1, x2], 1)))
+        x4 = self.act(self.conv4(torch.cat([x, x1, x2, x3], 1)))
+        x5 = self.conv5(torch.cat([x, x1, x2, x3, x4], 1))
+        return x5 * 0.2 + x
+
+
+class RRDBT(nn.Module):
+    def __init__(self, nf=32, gc=16):
+        super().__init__()
+        self.rdb1 = RDB5C(nf, gc)
+        self.rdb2 = RDB5C(nf, gc)
+        self.rdb3 = RDB5C(nf, gc)
+
+    def forward(self, x):
+        return self.rdb3(self.rdb2(self.rdb1(x))) * 0.2 + x
+
+
+class MiniRRDBNet(nn.Module):
+    """New-arch RealESRGAN naming: conv_first/body.N/conv_body/conv_up1..."""
+
+    def __init__(self, nf=32, gc=16, num_blocks=2, scale=4):
+        super().__init__()
+        import math
+        self.conv_first = nn.Conv2d(3, nf, 3, padding=1)
+        self.body = nn.ModuleList([RRDBT(nf, gc) for _ in range(num_blocks)])
+        self.conv_body = nn.Conv2d(nf, nf, 3, padding=1)
+        self.n_up = int(math.log2(scale))
+        for i in range(self.n_up):
+            setattr(self, f"conv_up{i+1}", nn.Conv2d(nf, nf, 3, padding=1))
+        self.conv_hr = nn.Conv2d(nf, nf, 3, padding=1)
+        self.conv_last = nn.Conv2d(nf, 3, 3, padding=1)
+        self.act = nn.LeakyReLU(0.2)
+
+    def forward(self, x):
+        fea = self.conv_first(x)
+        t = fea
+        for b in self.body:
+            t = b(t)
+        fea = fea + self.conv_body(t)
+        for i in range(self.n_up):
+            fea = F.interpolate(fea, scale_factor=2, mode="nearest")
+            fea = self.act(getattr(self, f"conv_up{i+1}")(fea))
+        return self.conv_last(self.act(self.conv_hr(fea)))
