@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--hires-fix", action="store_true")
     t.add_argument("--hires-steps", type=int, default=10)
     t.add_argument("--hires-denoise", type=float, default=0.45)
+    t.add_argument("--adetailer", action="store_true",
+                   help="face/person detail passes (needs YOLO/SAM weights)")
 
     i = sub.add_parser("img2img", help="image → upscaled/refined image (USDU)")
     common(i)
@@ -110,6 +112,10 @@ def main(argv=None):
             hires_fix=args.hires_fix, hires_steps=args.hires_steps,
             hires_denoise=args.hires_denoise,
         )
+        if args.adetailer:
+            from ..pipelines.adetailer import adetailer
+
+            imgs = adetailer(pipe, imgs, seed=args.seed)
         SaveImage().save_images(imgs, args.output_prefix)
     elif args.command == "img2img":
         import numpy as np

@@ -41,6 +41,8 @@ class SampleConfig:
     disable_noise: bool = False
     cond_len: int = 77
     uncond_len: int = 77
+    masked: bool = False
+    differential_diffusion: bool = False
 
 
 class SDPipeline:
@@ -88,10 +90,26 @@ class SDPipeline:
             return U.apply_unet(params, x, t, ctx, cfg=unet_cfg, policy=policy)
 
         @jax.jit
-        def program(unet_params, noise, latent, cond, uncond, cfg_scale, key):
+        def program(unet_params, noise, latent, cond, uncond, cfg_scale, key,
+                    mask=None):
             denoise_fn = make_cfg_denoiser(
                 unet_apply, unet_params, cond, uncond, cfg_scale, ms
             )
+            if cfg_key.masked:
+                from ..diffusion.inpaint import (
+                    differential_diffusion_mask_fn,
+                    make_masked_denoiser,
+                )
+
+                mask_fn = (
+                    differential_diffusion_mask_fn(ms)
+                    if cfg_key.differential_diffusion
+                    else None
+                )
+                denoise_fn = make_masked_denoiser(
+                    denoise_fn, latent.astype(jnp.float32),
+                    noise.astype(jnp.float32), mask, mask_fn
+                )
             return SMP.sample(
                 denoise_fn, ms, noise, sigmas, latent=latent, key=key,
                 sampler_name=cfg_key.sampler_name,
@@ -113,9 +131,12 @@ class SDPipeline:
         scheduler: str = "karras",
         denoise: float = 1.0,
         disable_noise: bool = False,
+        noise_mask: jnp.ndarray | None = None,
+        differential_diffusion: bool = False,
     ) -> jnp.ndarray:
         """The KSampler node (ref KSampler2.sample :6704 / common_ksampler
-        :6657): seeded noise + full jit'd sampling program."""
+        :6657): seeded noise + full jit'd sampling program. ``noise_mask``
+        (B,h,w,1): inpaint-style masked denoise (ref :2629/:9451)."""
         cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
         uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
         sigmas = SMP.sigmas_for(self.sd.model_sampling, scheduler, steps, denoise)
@@ -124,6 +145,8 @@ class SDPipeline:
         cfg_key = SampleConfig(
             steps, sampler_name, scheduler, denoise, disable_noise,
             cond.shape[1], uncond.shape[1],
+            masked=noise_mask is not None,
+            differential_diffusion=differential_diffusion and noise_mask is not None,
         )
         program = self._sample_program(cfg_key, sigmas.tobytes())
         noise = (
@@ -131,10 +154,16 @@ class SDPipeline:
             if disable_noise
             else prepare_noise(latent.astype(jnp.float32), seed)
         )
-        return program(
+        args = [
             self.sd.unet_params, noise, latent, cond, uncond,
             jnp.float32(cfg), jax.random.PRNGKey(seed),
-        )
+        ]
+        if noise_mask is not None:
+            mask = jnp.asarray(noise_mask, jnp.float32)
+            if mask.ndim == 3:
+                mask = mask[..., None]
+            args.append(mask)
+        return program(*args)
 
     def empty_latent(self, width: int, height: int, batch: int = 1):
         """EmptyLatentImage (ref :6628): zeros (B, H/8, W/8, 4)."""

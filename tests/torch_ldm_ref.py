@@ -467,3 +467,381 @@ class MiniRRDBNet(nn.Module):
             fea = F.interpolate(fea, scale_factor=2, mode="nearest")
             fea = self.act(getattr(self, f"conv_up{i+1}")(fea))
         return self.conv_last(self.act(self.conv_hr(fea)))
+
+
+# ---------------------------------------------------------------- YOLOv8 ----
+class YConv(nn.Module):
+    def __init__(self, c1, c2, k=1, s=1):
+        super().__init__()
+        self.conv = nn.Conv2d(c1, c2, k, s, k // 2, bias=False)
+        self.bn = nn.BatchNorm2d(c2, eps=1e-3, momentum=0.03)
+        self.act = nn.SiLU()
+
+    def forward(self, x):
+        return self.act(self.bn(self.conv(x)))
+
+
+class YBottleneck(nn.Module):
+    def __init__(self, c1, c2, shortcut=True):
+        super().__init__()
+        self.cv1 = YConv(c1, c2, 3)
+        self.cv2 = YConv(c2, c2, 3)
+        self.add = shortcut and c1 == c2
+
+    def forward(self, x):
+        y = self.cv2(self.cv1(x))
+        return x + y if self.add else y
+
+
+class YC2f(nn.Module):
+    def __init__(self, c1, c2, n=1, shortcut=False):
+        super().__init__()
+        self.c = c2 // 2
+        self.cv1 = YConv(c1, 2 * self.c, 1)
+        self.cv2 = YConv((2 + n) * self.c, c2, 1)
+        self.m = nn.ModuleList(YBottleneck(self.c, self.c, shortcut) for _ in range(n))
+
+    def forward(self, x):
+        y = list(self.cv1(x).chunk(2, 1))
+        y.extend(m(y[-1]) for m in self.m)
+        return self.cv2(torch.cat(y, 1))
+
+
+class YSPPF(nn.Module):
+    def __init__(self, c1, c2):
+        super().__init__()
+        c_ = c1 // 2
+        self.cv1 = YConv(c1, c_, 1)
+        self.cv2 = YConv(c_ * 4, c2, 1)
+        self.m = nn.MaxPool2d(5, 1, 2)
+
+    def forward(self, x):
+        y = self.cv1(x)
+        y1 = self.m(y); y2 = self.m(y1); y3 = self.m(y2)
+        return self.cv2(torch.cat([y, y1, y2, y3], 1))
+
+
+class YProto(nn.Module):
+    def __init__(self, c1, c_, c2):
+        super().__init__()
+        self.cv1 = YConv(c1, c_, 3)
+        self.upsample = nn.ConvTranspose2d(c_, c_, 2, 2, 0, bias=True)
+        self.cv2 = YConv(c_, c_, 3)
+        self.cv3 = YConv(c_, c2, 1)
+
+    def forward(self, x):
+        return self.cv3(self.cv2(self.upsample(self.cv1(x))))
+
+
+class MiniYolo(nn.Module):
+    """yolov8-shaped model with ultralytics 'model.N.' key naming, toy width.
+    width factor 0.125 -> ch(64)=8 etc; depth n=1."""
+
+    def __init__(self, nc=2, seg=False, w=0.125, max_ch=1024, reg_max=16, nm=8):
+        super().__init__()
+        ch = lambda c: int(-(-min(c, max_ch) * w // 8) * 8)
+        c1, c2, c3, c4, c5 = ch(64), ch(128), ch(256), ch(512), ch(1024)
+        self.nc, self.reg_max, self.seg, self.nm = nc, reg_max, seg, nm
+        m = nn.ModuleDict()
+        m["0"] = YConv(3, c1, 3, 2)
+        m["1"] = YConv(c1, c2, 3, 2)
+        m["2"] = YC2f(c2, c2, 1, True)
+        m["3"] = YConv(c2, c3, 3, 2)
+        m["4"] = YC2f(c3, c3, 1, True)
+        m["5"] = YConv(c3, c4, 3, 2)
+        m["6"] = YC2f(c4, c4, 1, True)
+        m["7"] = YConv(c4, c5, 3, 2)
+        m["8"] = YC2f(c5, c5, 1, True)
+        m["9"] = YSPPF(c5, c5)
+        m["12"] = YC2f(c5 + c4, c4, 1, False)
+        m["15"] = YC2f(c4 + c3, c3, 1, False)
+        m["16"] = YConv(c3, c3, 3, 2)
+        m["18"] = YC2f(c3 + c4, c4, 1, False)
+        m["19"] = YConv(c4, c4, 3, 2)
+        m["21"] = YC2f(c4 + c5, c5, 1, False)
+        self.model = m
+        hid = str(22)
+        chs = (c3, c4, c5)
+        cb = max(16, chs[0] // 4, reg_max * 4)
+        cc = max(chs[0], min(nc, 100))
+        head = nn.Module()
+        head.cv2 = nn.ModuleList(
+            nn.Sequential(YConv(x, cb, 3), YConv(cb, cb, 3), nn.Conv2d(cb, 4 * reg_max, 1))
+            for x in chs
+        )
+        head.cv3 = nn.ModuleList(
+            nn.Sequential(YConv(x, cc, 3), YConv(cc, cc, 3), nn.Conv2d(cc, nc, 1))
+            for x in chs
+        )
+        if seg:
+            c4m = max(chs[0] // 4, nm)
+            head.cv4 = nn.ModuleList(
+                nn.Sequential(YConv(x, c4m, 3), YConv(c4m, c4m, 3), nn.Conv2d(c4m, nm, 1))
+                for x in chs
+            )
+            head.proto = YProto(chs[0], max(chs[0], 8), nm)
+        self.model[hid] = head
+
+    def forward(self, x):
+        m = self.model
+        h = m["2"](m["1"](m["0"](x)))
+        p3in = m["4"](m["3"](h))
+        p4in = m["6"](m["5"](p3in))
+        p5 = m["9"](m["8"](m["7"](p4in)))
+        u = torch.cat([F.interpolate(p5, scale_factor=2, mode="nearest"), p4in], 1)
+        p4 = m["12"](u)
+        u = torch.cat([F.interpolate(p4, scale_factor=2, mode="nearest"), p3in], 1)
+        p3 = m["15"](u)
+        p4 = m["18"](torch.cat([m["16"](p3), p4], 1))
+        p5o = m["21"](torch.cat([m["19"](p4), p5], 1))
+        head = m["22"]
+        outs = []
+        for i, f in enumerate((p3, p4, p5o)):
+            outs.append((head.cv2[i](f), head.cv3[i](f)))
+        protos = head.proto(p3) if self.seg else None
+        coeffs = [head.cv4[i](f) for i, f in enumerate((p3, p4, p5o))] if self.seg else None
+        return outs, protos, coeffs
+
+
+# ------------------------------------------------------------------ SAM -----
+class SamLayerNorm2d(nn.Module):
+    def __init__(self, c, eps=1e-6):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(c))
+        self.bias = nn.Parameter(torch.zeros(c))
+        self.eps = eps
+
+    def forward(self, x):  # NCHW, normalize over C
+        u = x.mean(1, keepdim=True)
+        s = (x - u).pow(2).mean(1, keepdim=True)
+        x = (x - u) / torch.sqrt(s + self.eps)
+        return self.weight[:, None, None] * x + self.bias[:, None, None]
+
+
+def _sam_get_rel_pos(q, k, rel_pos):
+    coords = torch.arange(q)[:, None] - torch.arange(k)[None, :] + (k - 1)
+    return rel_pos[coords]
+
+
+class SamVitAttention(nn.Module):
+    def __init__(self, dim, heads, input_size):
+        super().__init__()
+        self.heads = heads
+        self.scale = (dim // heads) ** -0.5
+        self.qkv = nn.Linear(dim, dim * 3, bias=True)
+        self.proj = nn.Linear(dim, dim)
+        self.rel_pos_h = nn.Parameter(torch.randn(2 * input_size[0] - 1, dim // heads) * 0.02)
+        self.rel_pos_w = nn.Parameter(torch.randn(2 * input_size[1] - 1, dim // heads) * 0.02)
+
+    def forward(self, x):
+        b, h, w, c = x.shape
+        qkv = self.qkv(x.reshape(b, h * w, c)).reshape(b, h * w, 3, self.heads, -1)
+        qkv = qkv.permute(2, 0, 3, 1, 4).reshape(3, b * self.heads, h * w, -1)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q * self.scale) @ k.transpose(-2, -1)
+        rh = _sam_get_rel_pos(h, h, self.rel_pos_h)
+        rw = _sam_get_rel_pos(w, w, self.rel_pos_w)
+        r_q = q.reshape(-1, h, w, q.shape[-1])
+        rel_h = torch.einsum("bhwc,hkc->bhwk", r_q, rh)
+        rel_w = torch.einsum("bhwc,wkc->bhwk", r_q, rw)
+        attn = (
+            attn.view(-1, h, w, h, w) + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+        ).view(-1, h * w, h * w)
+        attn = attn.softmax(-1)
+        x = (attn @ v).view(b, self.heads, h * w, -1).permute(0, 2, 1, 3).reshape(b, h, w, c)
+        return self.proj(x)
+
+
+class SamVitBlock(nn.Module):
+    def __init__(self, dim, heads, window, input_size):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        size = (window, window) if window else input_size
+        self.attn = SamVitAttention(dim, heads, size)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.lin1 = nn.Linear(dim, dim * 4)
+        self.mlp.lin2 = nn.Linear(dim * 4, dim)
+        self.window = window
+
+    def forward(self, x):
+        shortcut = x
+        x = self.norm1(x)
+        if self.window:
+            b, h, w, c = x.shape
+            ws = self.window
+            ph, pw = (ws - h % ws) % ws, (ws - w % ws) % ws
+            x = F.pad(x, (0, 0, 0, pw, 0, ph))
+            hp, wp = h + ph, w + pw
+            x = x.view(b, hp // ws, ws, wp // ws, ws, c).permute(0, 1, 3, 2, 4, 5)
+            x = x.reshape(-1, ws, ws, c)
+            x = self.attn(x)
+            x = x.view(b, hp // ws, wp // ws, ws, ws, c).permute(0, 1, 3, 2, 4, 5)
+            x = x.reshape(b, hp, wp, c)[:, :h, :w]
+        else:
+            x = self.attn(x)
+        x = shortcut + x
+        return x + self.mlp.lin2(F.gelu(self.mlp.lin1(self.norm2(x))))
+
+
+class MiniSam(nn.Module):
+    """SAM with official key naming at toy size: dim 32, depth 2 (block 1
+    global), window 2, img 64, patch 16, out 16, 2 mask tokens... uses 4 mask
+    tokens to match the decoder contract."""
+
+    def __init__(self, img=64, patch=16, dim=32, depth=2, heads=4, window=2,
+                 out=16, dec_heads=2, nm_tokens=4):
+        super().__init__()
+        grid = img // patch
+        enc = nn.Module()
+        enc.patch_embed = nn.Module()
+        enc.patch_embed.proj = nn.Conv2d(3, dim, patch, patch)
+        enc.pos_embed = nn.Parameter(torch.randn(1, grid, grid, dim) * 0.02)
+        enc.blocks = nn.ModuleList(
+            [SamVitBlock(dim, heads, window if i != 1 else 0, (grid, grid)) for i in range(depth)]
+        )
+        enc.neck = nn.Sequential(
+            nn.Conv2d(dim, out, 1, bias=False), SamLayerNorm2d(out),
+            nn.Conv2d(out, out, 3, padding=1, bias=False), SamLayerNorm2d(out),
+        )
+        self.image_encoder = enc
+
+        pe = nn.Module()
+        pe.pe_layer = nn.Module()
+        pe.pe_layer.register_parameter(
+            "positional_encoding_gaussian_matrix", nn.Parameter(torch.randn(2, out // 2))
+        )
+        pe.point_embeddings = nn.ModuleList([nn.Embedding(1, out) for _ in range(4)])
+        pe.not_a_point_embed = nn.Embedding(1, out)
+        pe.no_mask_embed = nn.Embedding(1, out)
+        self.prompt_encoder = pe
+
+        dec = nn.Module()
+        dec.iou_token = nn.Embedding(1, out)
+        dec.mask_tokens = nn.Embedding(nm_tokens, out)
+        tr = nn.Module()
+        tr.layers = nn.ModuleList()
+        for i in range(2):
+            layer = nn.Module()
+            for name, rate in [("self_attn", 1), ("cross_attn_token_to_image", 2),
+                               ("cross_attn_image_to_token", 2)]:
+                a = nn.Module()
+                d_int = out // rate
+                a.q_proj = nn.Linear(out, d_int)
+                a.k_proj = nn.Linear(out, d_int)
+                a.v_proj = nn.Linear(out, d_int)
+                a.out_proj = nn.Linear(d_int, out)
+                setattr(layer, name, a)
+            layer.norm1 = nn.LayerNorm(out)
+            layer.norm2 = nn.LayerNorm(out)
+            layer.norm3 = nn.LayerNorm(out)
+            layer.norm4 = nn.LayerNorm(out)
+            layer.mlp = nn.Module()
+            layer.mlp.lin1 = nn.Linear(out, out * 8)
+            layer.mlp.lin2 = nn.Linear(out * 8, out)
+            tr.layers.append(layer)
+        fa = nn.Module()
+        d_int = out // 2
+        fa.q_proj = nn.Linear(out, d_int); fa.k_proj = nn.Linear(out, d_int)
+        fa.v_proj = nn.Linear(out, d_int); fa.out_proj = nn.Linear(d_int, out)
+        tr.final_attn_token_to_image = fa
+        tr.norm_final_attn = nn.LayerNorm(out)
+        dec.transformer = tr
+        dec.output_upscaling = nn.Sequential(
+            nn.ConvTranspose2d(out, out // 2, 2, 2), SamLayerNorm2d(out // 2),
+            nn.GELU(), nn.ConvTranspose2d(out // 2, out // 4, 2, 2), nn.GELU(),
+        )
+        def mlp3(i, o, hid):
+            m = nn.Module()
+            m.layers = nn.ModuleList([nn.Linear(i, hid), nn.Linear(hid, hid), nn.Linear(hid, o)])
+            return m
+        dec.output_hypernetworks_mlps = nn.ModuleList(
+            [mlp3(out, out // 4, out) for _ in range(nm_tokens)]
+        )
+        dec.iou_prediction_head = mlp3(out, nm_tokens, out)
+        self.mask_decoder = dec
+        self.dec_heads = dec_heads
+        self.nm = nm_tokens
+        self.out_dim = out
+        self.img = img
+        self.grid = grid
+
+    # ---- reference forward passes (mirroring official SAM semantics) ----
+    def encode_image(self, x):  # x NCHW normalized
+        h = self.image_encoder.patch_embed.proj(x).permute(0, 2, 3, 1)
+        h = h + self.image_encoder.pos_embed
+        for blk in self.image_encoder.blocks:
+            h = blk(h)
+        return self.image_encoder.neck(h.permute(0, 3, 1, 2))
+
+    def _pe(self, coords):
+        g = self.prompt_encoder.pe_layer.positional_encoding_gaussian_matrix
+        c = 2 * coords - 1
+        c = c @ g
+        c = 2 * math.pi * c
+        return torch.cat([torch.sin(c), torch.cos(c)], -1)
+
+    def dense_pe(self):
+        g = self.grid
+        ys = (torch.arange(g).float() + 0.5) / g
+        xs = (torch.arange(g).float() + 0.5) / g
+        gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+        return self._pe(torch.stack([gx, gy], -1))  # (g,g,C)
+
+    def _attn(self, a, q, k, v, heads):
+        b, nq, _ = q.shape
+        qh = a.q_proj(q).view(b, nq, heads, -1).transpose(1, 2)
+        kh = a.k_proj(k).view(b, k.shape[1], heads, -1).transpose(1, 2)
+        vh = a.v_proj(v).view(b, v.shape[1], heads, -1).transpose(1, 2)
+        d = qh.shape[-1]
+        attn = torch.softmax(qh @ kh.transpose(-2, -1) / math.sqrt(d), -1)
+        o = (attn @ vh).transpose(1, 2).reshape(b, nq, -1)
+        return a.out_proj(o)
+
+    def decode(self, feats, sparse, dense):
+        dec = self.mask_decoder
+        out_tokens = torch.cat([dec.iou_token.weight, dec.mask_tokens.weight], 0)
+        tokens = torch.cat([out_tokens.unsqueeze(0), sparse], 1)
+        b, c, gh, gw = feats.shape
+        src = feats + dense.permute(0, 3, 1, 2)
+        keys = src.flatten(2).transpose(1, 2)
+        key_pe = self.dense_pe().reshape(1, -1, c)
+        queries = tokens
+        for i, layer in enumerate(dec.transformer.layers):
+            if i == 0:
+                queries = self._attn(layer.self_attn, queries, queries, queries, self.dec_heads)
+            else:
+                q = queries + tokens
+                queries = queries + self._attn(layer.self_attn, q, q, queries, self.dec_heads)
+            queries = layer.norm1(queries)
+            q = queries + tokens
+            k = keys + key_pe
+            queries = queries + self._attn(layer.cross_attn_token_to_image, q, k, keys, self.dec_heads)
+            queries = layer.norm2(queries)
+            queries = queries + layer.mlp.lin2(F.relu(layer.mlp.lin1(queries)))
+            queries = layer.norm3(queries)
+            q = queries + tokens
+            k = keys + key_pe
+            keys = keys + self._attn(layer.cross_attn_image_to_token, k, q, queries, self.dec_heads)
+            keys = layer.norm4(keys)
+        q = queries + tokens
+        k = keys + key_pe
+        queries = queries + self._attn(dec.transformer.final_attn_token_to_image, q, k, keys, self.dec_heads)
+        queries = dec.transformer.norm_final_attn(queries)
+        iou_out = queries[:, 0]
+        mask_tokens_out = queries[:, 1 : 1 + self.nm]
+        src2 = keys.transpose(1, 2).reshape(b, c, gh, gw)
+        up = dec.output_upscaling(src2)
+        hyper = torch.stack(
+            [self._mlp3(dec.output_hypernetworks_mlps[i], mask_tokens_out[:, i])
+             for i in range(self.nm)], 1,
+        )
+        masks = torch.einsum("bnc,bchw->bnhw", hyper, up)
+        iou = self._mlp3(dec.iou_prediction_head, iou_out)
+        return masks, iou
+
+    @staticmethod
+    def _mlp3(m, x):
+        x = F.relu(m.layers[0](x))
+        x = F.relu(m.layers[1](x))
+        return m.layers[2](x)
