@@ -283,3 +283,81 @@ def get_sampler(name: str):
     if name not in SAMPLERS:
         raise ValueError(f"unknown sampler {name!r}; have {list(SAMPLERS)}")
     return SAMPLERS[name]
+
+
+# ---------------------------------------------------------- chunked runs ----
+# Uniform carry protocol for fixed-step samplers: carry = (x, old_denoised,
+# h_last); per-step xs = (absolute index, sigma, sigma_next). This lets the
+# pipeline run a compiled scan over CHUNKS of steps and poll interrupts /
+# render previews between chunks — the TPU-correct version of the
+# reference's per-step interrupt_flag polling + preview threads
+# (LightDiffusion.py:922/:937/:1076; SURVEY §7 "chunk the scan").
+
+def _euler_body(denoise_fn, key, eta, s_noise, ancestral):
+    def body(carry, args):
+        x, old_d, h_last = carry
+        i, sigma, sigma_next = args
+        denoised = denoise_fn(x, sigma)
+        if ancestral:
+            sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next, eta)
+        else:
+            sigma_down, sigma_up = sigma_next, 0.0
+        d = to_d(x, sigma, denoised)
+        x = x + d * (sigma_down - sigma)
+        if ancestral:
+            noise = jax.random.normal(step_noise_key(key, i), x.shape, x.dtype)
+            x = jnp.where(sigma_next > 0, x + noise * (s_noise * sigma_up), x)
+        return (x, denoised, h_last), None
+
+    return body
+
+
+def _dpmpp_2m_sde_body(denoise_fn, key, eta, s_noise):
+    def body(carry, args):
+        x, old_denoised, h_last = carry
+        i, sigma, sigma_next = args
+        denoised = denoise_fn(x, sigma)
+        t = -jnp.log(sigma)
+        s = -jnp.log(jnp.maximum(sigma_next, 1e-10))
+        h = s - t
+        eta_h = eta * h
+        x_new = (
+            sigma_next / sigma * jnp.exp(-eta_h) * x
+            + (-jnp.expm1(-h - eta_h)) * denoised
+        )
+        r = h_last / h
+        x_2 = x_new + 0.5 * (-jnp.expm1(-h - eta_h)) * (1 / r) * (
+            denoised - old_denoised
+        )
+        x_new = jnp.where(i > 0, x_2, x_new)
+        noise = jax.random.normal(step_noise_key(key, i), x.shape, x.dtype)
+        x_new = x_new + noise * (
+            sigma_next * jnp.sqrt(-jnp.expm1(-2 * eta_h)) * s_noise
+        )
+        x = jnp.where(sigma_next == 0, denoised, x_new)
+        return (x, denoised, h), None
+
+    return body
+
+
+def make_stepper(name: str, denoise_fn, key, eta=1.0, s_noise=1.0):
+    """Returns a scan body with the uniform carry protocol, or None if the
+    sampler has no fixed-step form (dpm_adaptive)."""
+    if name in ("euler", "ddim"):
+        return _euler_body(denoise_fn, key, eta, s_noise, ancestral=False)
+    if name == "euler_ancestral":
+        return _euler_body(denoise_fn, key, eta, s_noise, ancestral=True)
+    if name == "dpmpp_2m_sde":
+        return _dpmpp_2m_sde_body(denoise_fn, key, eta, s_noise)
+    if name == "dpmpp_2m":
+        # reuse the SDE body shape with eta=0-style deterministic update
+        return None
+    return None
+
+
+def run_steps(body, x, aux, indices, sigmas_pairs):
+    """Scan `body` over the given absolute indices / sigma pairs.
+    aux = (old_denoised, h_last)."""
+    carry = (x, aux[0], aux[1])
+    (x, od, hl), _ = jax.lax.scan(body, carry, (indices,) + sigmas_pairs)
+    return x, (od, hl)

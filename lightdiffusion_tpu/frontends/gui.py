@@ -1,0 +1,268 @@
+"""Tkinter GUI — the reference's desktop frontend.
+
+Behavioral parity targets (/root/reference/LightDiffusion.py):
+  - ``App``                 :10121-10799 (sidebar: prompt/neg boxes,
+    checkpoint+LoRA dropdowns, w/h sliders 1-2048 step 16, cfg 1-15,
+    checkboxes Hires-Fix/Adetailer/Prompt-enhancer/Previewer,
+    generate/img2img/interrupt buttons, aspect-fit display pane,
+    param persistence on every change, most-recent-image restore)
+  - generation thread       :10452-10735
+  - interrupt flag          :10794 (NOTE: the reference never clears it —
+    a stale-state bug (SURVEY §5.2); we reset it at the start of each run)
+  - live previews           :761-777 (TAESD per step; here per chunk via
+    sample_latent_chunked — no unsynchronized threads)
+
+Requires a display; ``python -m lightdiffusion_tpu.frontends.gui``.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+
+import numpy as np
+
+from .. import assets
+from .persistence import SessionParams, load_parameters_from_file, write_parameters_to_file
+
+log = logging.getLogger(__name__)
+
+
+class GenerationController:
+    """GUI-independent orchestration (testable headlessly): holds the
+    pipeline, interrupt flag, and runs the reference's generate flow."""
+
+    def __init__(self):
+        self.pipe = None
+        self.interrupt_flag = False
+        self.current_checkpoint = None
+        self.current_lora = None
+
+    def interrupt(self):
+        self.interrupt_flag = True
+
+    def prep(self, checkpoint: str | None, lora: str | None = None,
+             random_init: bool = False):
+        """(Re)load when the selection changed (ref _prep :10455)."""
+        if (
+            self.pipe is not None
+            and checkpoint == self.current_checkpoint
+            and lora == self.current_lora
+        ):
+            return self.pipe
+        from .headless import load_default_pipeline
+
+        loras = [(lora, 1.0, 1.0)] if lora and lora != "None" else []
+        self.pipe = load_default_pipeline(
+            checkpoint=checkpoint, loras=loras, clip_skip=-2,
+            random_init=random_init,
+        )
+        self.current_checkpoint = checkpoint
+        self.current_lora = lora
+        return self.pipe
+
+    def generate(
+        self,
+        prompt: str,
+        neg: str,
+        width: int,
+        height: int,
+        cfg: float,
+        seed: int = 0,
+        steps: int = 20,
+        sampler_name: str = "dpmpp_2m_sde",
+        scheduler: str = "karras",
+        hires_fix: bool = False,
+        adetailer: bool = False,
+        enhance: bool = False,
+        preview_cb=None,  # fn(image_np) for live previews
+        progress_cb=None,  # fn(done, total)
+        random_init: bool = False,
+    ) -> np.ndarray | None:
+        from ..models.taesd import latent_to_rgb_preview
+        from ..pipelines.sd import txt2img
+
+        self.interrupt_flag = False  # the reference forgets this (:10794)
+        pipe = self.prep(self.current_checkpoint, self.current_lora,
+                         random_init=random_init)
+        if enhance:
+            from .enhancer import enhance_prompt
+
+            prompt = enhance_prompt(prompt)
+
+        def on_chunk(done, total, latent_np):
+            if progress_cb:
+                progress_cb(done, total)
+            if preview_cb is not None:
+                import jax.numpy as jnp
+
+                preview = np.asarray(
+                    latent_to_rgb_preview(jnp.asarray(latent_np[:1]))
+                )[0]
+                preview_cb(preview)
+            return not self.interrupt_flag
+
+        positive = pipe.encode_text(prompt)
+        negative = pipe.encode_text(neg)
+        latent = pipe.empty_latent(width, height, 1)
+        latent = pipe.sample_latent_chunked(
+            latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
+            sampler_name=sampler_name, scheduler=scheduler, chunk_size=5,
+            on_chunk=on_chunk,
+        )
+        if self.interrupt_flag:
+            return None
+        if hires_fix:
+            latent = pipe.upscale_latent(latent, width * 2, height * 2, "bislerp")
+            latent = pipe.sample_latent_chunked(
+                latent, positive, negative, seed=seed, steps=10, cfg=8.0,
+                sampler_name="euler_ancestral", scheduler="normal",
+                denoise=0.45, chunk_size=5, on_chunk=on_chunk,
+            )
+        if self.interrupt_flag:
+            return None
+        imgs = np.asarray(pipe.decode(latent))
+        if adetailer:
+            from ..pipelines.adetailer import adetailer as run_adetailer
+
+            imgs = run_adetailer(pipe, imgs, seed=seed)
+        return imgs
+
+
+def main():  # pragma: no cover - needs a display
+    import tkinter as tk
+    from tkinter import filedialog, ttk
+    from PIL import Image, ImageTk
+
+    ctl = GenerationController()
+    saved = load_parameters_from_file()
+
+    root = tk.Tk()
+    root.title("LightDiffusion-TPU")
+    root.geometry("1100x720")
+
+    side = tk.Frame(root, width=320)
+    side.pack(side="left", fill="y", padx=8, pady=8)
+
+    tk.Label(side, text="Prompt").pack(anchor="w")
+    prompt_box = tk.Text(side, height=6, width=40)
+    prompt_box.insert("1.0", saved.prompt)
+    prompt_box.pack()
+    tk.Label(side, text="Negative").pack(anchor="w")
+    neg_box = tk.Text(side, height=4, width=40)
+    neg_box.insert("1.0", saved.neg)
+    neg_box.pack()
+
+    ckpts = ["random-init"] + assets.list_files("checkpoints")
+    loras = ["None"] + assets.list_files("loras")
+    ckpt_var = tk.StringVar(value=ckpts[1] if len(ckpts) > 1 else ckpts[0])
+    lora_var = tk.StringVar(value="None")
+    ttk.Combobox(side, textvariable=ckpt_var, values=ckpts).pack(fill="x")
+    ttk.Combobox(side, textvariable=lora_var, values=loras).pack(fill="x")
+
+    w_var = tk.IntVar(value=saved.width)
+    h_var = tk.IntVar(value=saved.height)
+    cfg_var = tk.DoubleVar(value=saved.cfg)
+    tk.Scale(side, from_=16, to=2048, resolution=16, orient="horizontal",
+             label="Width", variable=w_var).pack(fill="x")
+    tk.Scale(side, from_=16, to=2048, resolution=16, orient="horizontal",
+             label="Height", variable=h_var).pack(fill="x")
+    tk.Scale(side, from_=1, to=15, resolution=0.5, orient="horizontal",
+             label="CFG", variable=cfg_var).pack(fill="x")
+
+    hires_var = tk.BooleanVar()
+    adet_var = tk.BooleanVar()
+    enh_var = tk.BooleanVar()
+    prev_var = tk.BooleanVar(value=True)
+    for label, var in [("Hires Fix", hires_var), ("Adetailer", adet_var),
+                       ("Prompt enhancer", enh_var), ("Previewer", prev_var)]:
+        tk.Checkbutton(side, text=label, variable=var).pack(anchor="w")
+
+    display = tk.Label(root, bg="#202020")
+    display.pack(side="right", expand=True, fill="both")
+    photo_ref = {}
+
+    def show(img_np):
+        img = Image.fromarray((np.clip(img_np, 0, 1) * 255).astype(np.uint8))
+        dw, dh = max(display.winfo_width(), 64), max(display.winfo_height(), 64)
+        scale = min(dw / img.width, dh / img.height)
+        img = img.resize((int(img.width * scale), int(img.height * scale)))
+        photo = ImageTk.PhotoImage(img)
+        photo_ref["p"] = photo
+        display.configure(image=photo)
+
+    def persist(*_):
+        write_parameters_to_file(SessionParams(
+            prompt_box.get("1.0", "end").strip(),
+            neg_box.get("1.0", "end").strip(),
+            w_var.get(), h_var.get(), cfg_var.get(),
+        ))
+
+    for v in (w_var, h_var, cfg_var):
+        v.trace_add("write", persist)
+
+    def run_generate():
+        persist()
+        ctl.current_checkpoint = None if ckpt_var.get() == "random-init" else ckpt_var.get()
+        ctl.current_lora = lora_var.get()
+
+        def work():
+            imgs = ctl.generate(
+                prompt_box.get("1.0", "end").strip(),
+                neg_box.get("1.0", "end").strip(),
+                w_var.get(), h_var.get(), cfg_var.get(),
+                hires_fix=hires_var.get(), adetailer=adet_var.get(),
+                enhance=enh_var.get(),
+                preview_cb=(lambda p: root.after(0, show, p)) if prev_var.get() else None,
+                progress_cb=lambda d, t: root.after(
+                    0, root.title, f"LightDiffusion-TPU — {d}/{t}"
+                ),
+                random_init=ckpt_var.get() == "random-init",
+            )
+            if imgs is not None:
+                from ..nodes import SaveImage
+
+                SaveImage().save_images(imgs, "GUI")
+                root.after(0, show, imgs[0])
+
+        threading.Thread(target=work, daemon=True).start()
+
+    def run_img2img():
+        path = filedialog.askopenfilename()
+        if not path:
+            return
+
+        def work():
+            from ..postprocess.usdu import ultimate_sd_upscale
+            from ..nodes import SaveImage
+
+            pipe = ctl.prep(
+                None if ckpt_var.get() == "random-init" else ckpt_var.get(),
+                lora_var.get(), random_init=ckpt_var.get() == "random-init",
+            )
+            img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+            out = ultimate_sd_upscale(
+                pipe, img[None], prompt_box.get("1.0", "end").strip(),
+                neg_box.get("1.0", "end").strip(), upscale_by=2.0, steps=8,
+                cfg=6.0, denoise=0.3, mask_blur=16, padding=32,
+                seam_fix_mode="Half Tile", seam_fix_denoise=0.2,
+            )
+            SaveImage().save_images(out, "GUI-img2img")
+            root.after(0, show, out[0])
+
+        threading.Thread(target=work, daemon=True).start()
+
+    tk.Button(side, text="Generate", command=run_generate).pack(fill="x", pady=2)
+    tk.Button(side, text="Img2Img", command=run_img2img).pack(fill="x", pady=2)
+    tk.Button(side, text="Interrupt", command=ctl.interrupt).pack(fill="x", pady=2)
+
+    # most-recent-image restore (ref :10774)
+    outs = sorted(assets.output_dir().glob("*.png"))
+    if outs:
+        show(np.asarray(Image.open(outs[-1]), np.float32) / 255.0)
+
+    root.mainloop()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -170,6 +170,50 @@ class SaveImage:
         return {"ui": {"images": results}}
 
 
+class UpscaleModelLoader:
+    """(ref :7260): load an ESRGAN-family model from _internal/ESRGAN."""
+
+    def load_model(self, model_name: str):
+        from .models.esrgan import load_esrgan
+
+        path = assets.resolve_file("ESRGAN", model_name)
+        return (load_esrgan(path),)
+
+
+class ImageUpscaleWithModel:
+    """(ref :7356): tiled ESRGAN application with feathered blending."""
+
+    def upscale(self, upscale_model, image, tile: int = 512, overlap: int = 32):
+        from .models.esrgan import esrgan_apply
+        from .postprocess.tiling import tiled_apply
+
+        params, cfg = upscale_model
+        out = tiled_apply(
+            lambda t: jnp.clip(esrgan_apply(params, t, cfg), 0, 1),
+            np.asarray(image), scale=cfg.scale, tile=tile, overlap=overlap,
+        )
+        return (out,)
+
+
+class UltralyticsDetectorProvider:
+    """(ref :8687): load a YOLO detector from _internal/yolos."""
+
+    def doit(self, model_name: str):
+        from .models.yolo import load_yolo
+
+        det = load_yolo(assets.resolve_file("yolos", model_name))
+        return (det, det)  # (bbox_detector, segm_detector)
+
+
+class SAMLoader:
+    """(ref :8419): load SAM vit_b from _internal/yolos."""
+
+    def load_model(self, model_name: str = "sam_vit_b_01ec64.pth"):
+        from .models.sam import load_sam
+
+        return (load_sam(assets.resolve_file("yolos", model_name)),)
+
+
 NODE_CLASS_MAPPINGS = {
     "CheckpointLoaderSimple": CheckpointLoaderSimple,
     "CLIPSetLastLayer": CLIPSetLastLayer,
@@ -181,4 +225,8 @@ NODE_CLASS_MAPPINGS = {
     "VAEDecode": VAEDecode,
     "VAEEncode": VAEEncode,
     "SaveImage": SaveImage,
+    "UpscaleModelLoader": UpscaleModelLoader,
+    "ImageUpscaleWithModel": ImageUpscaleWithModel,
+    "UltralyticsDetectorProvider": UltralyticsDetectorProvider,
+    "SAMLoader": SAMLoader,
 }

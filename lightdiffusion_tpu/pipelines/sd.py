@@ -165,6 +165,96 @@ class SDPipeline:
             args.append(mask)
         return program(*args)
 
+    # --------------------------------------------- chunked (interruptible) --
+    def _chunk_program(self, cfg_key: SampleConfig, chunk_len: int):
+        key = ("chunk", cfg_key, chunk_len)
+        if key in self._programs:
+            return self._programs[key]
+        ms = self.sd.model_sampling
+        unet_cfg = self.sd.unet_config
+        policy = self.policy
+
+        def unet_apply(params, x, t, ctx):
+            return U.apply_unet(params, x, t, ctx, cfg=unet_cfg, policy=policy)
+
+        from ..diffusion.samplers import make_stepper, run_steps
+
+        @jax.jit
+        def program(unet_params, x, aux, cond, uncond, cfg_scale, key,
+                    indices, sig_lo, sig_hi):
+            denoise_fn = make_cfg_denoiser(
+                unet_apply, unet_params, cond, uncond, cfg_scale, ms
+            )
+            body = make_stepper(cfg_key.sampler_name, denoise_fn, key)
+            return run_steps(body, x, aux, indices, (sig_lo, sig_hi))
+
+        self._programs[key] = program
+        return program
+
+    def sample_latent_chunked(
+        self,
+        latent,
+        positive,
+        negative,
+        seed: int = 0,
+        steps: int = 20,
+        cfg: float = 7.0,
+        sampler_name: str = "euler_ancestral",
+        scheduler: str = "karras",
+        denoise: float = 1.0,
+        chunk_size: int = 5,
+        on_chunk=None,  # fn(steps_done, total, latent_np) -> False to stop
+    ):
+        """Interruptible sampling: compiled scans over chunks of steps, host
+        polling between chunks (reference interrupt_flag/preview parity,
+        LightDiffusion.py:922/:937; SURVEY §7). Falls back to the monolithic
+        program for samplers without a fixed-step form."""
+        from ..diffusion.samplers import make_stepper
+
+        if make_stepper(sampler_name, lambda x, s: x, jax.random.PRNGKey(0)) is None:
+            return self.sample_latent(
+                latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
+                sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,
+            )
+        import math as _math
+
+        cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
+        uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
+        ms = self.sd.model_sampling
+        sigmas = SMP.sigmas_for(ms, scheduler, steps, denoise)
+        if sigmas.shape[0] == 0:
+            return latent
+        n = sigmas.shape[0] - 1
+        noise = prepare_noise(latent.astype(jnp.float32), seed)
+        max_denoise = _math.isclose(
+            float(sigmas[0]), float(ms.sigma_max), rel_tol=1e-3
+        ) or float(sigmas[0]) > float(ms.sigma_max)
+        x = ms.noise_scaling(
+            jnp.float32(sigmas[0]), noise, latent.astype(jnp.float32), max_denoise
+        )
+        aux = (jnp.zeros_like(x), jnp.float32(1.0))
+        cfg_key = SampleConfig(
+            steps, sampler_name, scheduler, denoise, False,
+            cond.shape[1], uncond.shape[1],
+        )
+        rng = jax.random.PRNGKey(seed)
+        done = 0
+        while done < n:
+            m = min(chunk_size, n - done)
+            program = self._chunk_program(cfg_key, m)
+            idx = jnp.arange(done, done + m)
+            lo = jnp.asarray(sigmas[done : done + m])
+            hi = jnp.asarray(sigmas[done + 1 : done + m + 1])
+            x, aux = program(
+                self.sd.unet_params, x, aux, cond, uncond, jnp.float32(cfg),
+                rng, idx, lo, hi,
+            )
+            done += m
+            if on_chunk is not None:
+                if on_chunk(done, n, np.asarray(x)) is False:
+                    break
+        return ms.inverse_noise_scaling(jnp.float32(sigmas[-1]), x)
+
     def empty_latent(self, width: int, height: int, batch: int = 1):
         """EmptyLatentImage (ref :6628): zeros (B, H/8, W/8, 4)."""
         r = self.sd.vae_config.downscale_ratio

@@ -96,3 +96,46 @@ def test_nodes_api_roundtrip():
     assert img.shape == (1, 16, 16, 3)
     (re_lat,) = N.VAEEncode().encode(vae, img)
     assert re_lat["samples"].shape == (1, 8, 8, 4)
+
+
+def test_generation_controller_headless(monkeypatch):
+    """GUI controller without tk: generate with previews + interrupt reset."""
+    import jax
+    from tests.test_pipeline import TINY_UNET, TINY_VAE, TINY_CLIP
+    from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
+    from lightdiffusion_tpu.models import unet as U, vae as V, clip as C
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.diffusion.parameterization import make_discrete_sampling
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+    from lightdiffusion_tpu.frontends.gui import GenerationController
+
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    sd = StableDiffusion(
+        unet_params=U.init_unet_params(k[0], TINY_UNET), unet_config=TINY_UNET,
+        clip_params=C.init_clip_params(k[1], TINY_CLIP), clip_config=TINY_CLIP,
+        vae_params=V.init_vae_params(k[2], TINY_VAE), vae_config=TINY_VAE,
+        model_sampling=make_discrete_sampling("eps"),
+    )
+    ctl = GenerationController()
+    ctl.pipe = SDPipeline(sd, policy=L.FP32)
+    ctl.current_checkpoint = "x"  # skip prep()
+    ctl.interrupt_flag = True  # stale flag must be cleared by generate()
+
+    previews, progress = [], []
+    imgs = ctl.generate(
+        "a cat", "", 32, 32, 7.0, steps=4, sampler_name="euler_ancestral",
+        preview_cb=previews.append, progress_cb=lambda d, t: progress.append((d, t)),
+    )
+    assert imgs is not None and imgs.shape == (1, 32, 32, 3)
+    assert len(previews) >= 1 and previews[0].ndim == 3
+    assert progress[-1][0] == progress[-1][1]
+
+    # interrupt mid-run
+    def interrupter(img):
+        ctl.interrupt_flag = True
+
+    out = ctl.generate(
+        "a cat", "", 32, 32, 7.0, steps=8, sampler_name="euler_ancestral",
+        preview_cb=interrupter,
+    )
+    assert out is None

@@ -96,3 +96,52 @@ def test_program_cache_reuse(pipe):
     n = len(pipe._programs)
     txt2img(pipe, "dog", "", width=32, height=32, steps=2, seed=3)
     assert len(pipe._programs) == n  # same static config → no recompile
+
+
+def test_chunked_matches_monolithic(pipe):
+    latent = pipe.empty_latent(32, 32)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    full = pipe.sample_latent(
+        latent, pos, neg, seed=3, steps=6, sampler_name="euler_ancestral",
+    )
+    seen = []
+    chunked = pipe.sample_latent_chunked(
+        latent, pos, neg, seed=3, steps=6, sampler_name="euler_ancestral",
+        chunk_size=2, on_chunk=lambda d, t, x: seen.append((d, t)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), atol=1e-5, rtol=1e-5
+    )
+    assert seen == [(2, 6), (4, 6), (6, 6)]
+
+
+def test_chunked_interrupt(pipe):
+    latent = pipe.empty_latent(32, 32)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    calls = []
+
+    def stop_after_first(done, total, x):
+        calls.append(done)
+        return False
+
+    out = pipe.sample_latent_chunked(
+        latent, pos, neg, seed=0, steps=6, sampler_name="euler_ancestral",
+        chunk_size=2, on_chunk=stop_after_first,
+    )
+    assert calls == [2]
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_chunked_sde_sampler_carry(pipe):
+    latent = pipe.empty_latent(32, 32)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    full = pipe.sample_latent(
+        latent, pos, neg, seed=5, steps=6, sampler_name="dpmpp_2m_sde",
+    )
+    chunked = pipe.sample_latent_chunked(
+        latent, pos, neg, seed=5, steps=6, sampler_name="dpmpp_2m_sde",
+        chunk_size=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), atol=1e-5, rtol=1e-5
+    )
