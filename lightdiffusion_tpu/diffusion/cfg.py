@@ -56,12 +56,20 @@ def make_cfg_denoiser(
     [cond ‖ uncond] (ref calc_cond_batch fast path + cfg_function).
     """
     target = common_context_length(cond.shape[1], uncond.shape[1])
-    context = jnp.concatenate(
-        [pad_context_to(cond, target), pad_context_to(uncond, target)], axis=0
-    )
+    cond_p = pad_context_to(cond, target)
+    uncond_p = pad_context_to(uncond, target)
 
     def denoise(x, sigma):
         b = x.shape[0]
+        # tile (1,L,C) conds across the sample batch (per-sample conds with
+        # leading dim b pass through unchanged)
+        context = jnp.concatenate(
+            [
+                jnp.broadcast_to(cond_p, (b,) + cond_p.shape[1:]),
+                jnp.broadcast_to(uncond_p, (b,) + uncond_p.shape[1:]),
+            ],
+            axis=0,
+        )
         sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
         x_in = model_sampling.calculate_input(sigma_b, x)
         t = model_sampling.timestep(sigma_b)

@@ -52,16 +52,40 @@ class SDPipeline:
         policy: L.Policy = L.BF16,
         vae_policy: L.Policy = L.FP32,
         clip_skip: int = -1,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh("dp","tp") — UNet params are
+        TP-sharded (parallel/mesh.py policies), batches shard on dp, and the
+        jit'd programs run SPMD with XLA-inserted ICI collectives. The
+        reference has no distributed layer (SURVEY §2.14); this is the
+        TPU-native scaling path."""
         self.sd = sd
         self.policy = policy
         self.vae_policy = vae_policy
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as M
+
+            sd.unet_params = M.shard_params(sd.unet_params, mesh)
         self.clip = ClipTextEncoder(
             sd.clip_params, sd.clip_config, policy=L.FP32, clip_skip=clip_skip
         )
         self.vae = V.VAE(sd.vae_params, sd.vae_config, policy=vae_policy)
         self._programs: dict = {}
         self._cond_cache: dict = {}
+
+    def _shard_batch(self, x):
+        """Place a batch-leading array on the mesh (dp over batch); arrays
+        whose batch doesn't divide dp (e.g. (1,L,C) conds, broadcast inside
+        the program) are replicated."""
+        if self.mesh is None:
+            return x
+        from ..parallel import mesh as M
+
+        n_dp = self.mesh.shape["dp"]
+        if x.shape[0] % n_dp == 0:
+            return jax.device_put(x, M.batch_sharding(self.mesh, x.ndim))
+        return jax.device_put(x, M.replicated(self.mesh))
 
     # ------------------------------------------------------------ text ------
     def set_clip_skip(self, clip_skip: int):
@@ -155,8 +179,10 @@ class SDPipeline:
             else prepare_noise(latent.astype(jnp.float32), seed)
         )
         args = [
-            self.sd.unet_params, noise, latent, cond, uncond,
-            jnp.float32(cfg), jax.random.PRNGKey(seed),
+            self.sd.unet_params, self._shard_batch(noise),
+            self._shard_batch(latent), self._shard_batch(cond),
+            self._shard_batch(uncond), jnp.float32(cfg),
+            jax.random.PRNGKey(seed),
         ]
         if noise_mask is not None:
             mask = jnp.asarray(noise_mask, jnp.float32)
