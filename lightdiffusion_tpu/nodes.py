@@ -121,6 +121,27 @@ class KSampler:
         )
 
 
+class KSamplerAdvanced:
+    """Advanced sampler with step-window control (the Impact-pack
+    ``separated_sample``/``ksampler_wrapper`` surface, ref :9113/:9160)."""
+
+    def sample(self, model, add_noise, noise_seed, steps, cfg, sampler_name,
+               scheduler, positive, negative, latent_image,
+               start_at_step=0, end_at_step=10000,
+               return_with_leftover_noise="disable"):
+        cond = positive[0][0] if isinstance(positive, list) else positive
+        uncond = negative[0][0] if isinstance(negative, list) else negative
+        out = model.sample_latent(
+            latent_image["samples"], cond, uncond, seed=noise_seed,
+            steps=steps, cfg=cfg, sampler_name=sampler_name,
+            scheduler=scheduler,
+            disable_noise=(add_noise in ("disable", False)),
+            start_step=start_at_step,
+            last_step=min(end_at_step, steps),
+        )
+        return ({"samples": out},)
+
+
 class VAEDecode:
     """(ref :6580)"""
 
@@ -214,6 +235,48 @@ class SAMLoader:
         return (load_sam(assets.resolve_file("yolos", model_name)),)
 
 
+class BboxDetectorForEach:
+    """(ref :8703): detector + image → SEG list."""
+
+    def doit(self, bbox_detector, image, threshold=0.5, dilation=10,
+             crop_factor=3.0, drop_size=10):
+        from .postprocess.detailer import bboxes_to_segs
+
+        img = np.asarray(image)[0]
+        boxes, scores, labels, masks = bbox_detector(img, conf=threshold)
+        segs = bboxes_to_segs(
+            img, boxes, scores, labels, threshold=threshold,
+            dilation=dilation, crop_factor=crop_factor, drop_size=drop_size,
+            masks=masks,
+        )
+        return (segs,)
+
+
+class SAMDetectorCombined:
+    """(ref :8808): SAM masks for all SEGs, combined."""
+
+    def doit(self, sam_model, segs, image, detection_hint="center-1",
+             dilation=0, threshold=0.93, bbox_expansion=0,
+             mask_hint_threshold=0.7, mask_hint_use_negative="False"):
+        from .models.sam import make_sam_mask
+
+        mask = make_sam_mask(
+            sam_model, segs, np.asarray(image)[0],
+            detection_hint=detection_hint, threshold=threshold,
+            dilation=dilation, mask_hint_threshold=mask_hint_threshold,
+        )
+        return (mask,)
+
+
+class SegsBitwiseAndMask:
+    """(ref :8867)"""
+
+    def doit(self, segs, mask):
+        from .postprocess.detailer import segs_bitwise_and_mask
+
+        return (segs_bitwise_and_mask(segs, np.asarray(mask)),)
+
+
 NODE_CLASS_MAPPINGS = {
     "CheckpointLoaderSimple": CheckpointLoaderSimple,
     "CLIPSetLastLayer": CLIPSetLastLayer,
@@ -222,6 +285,7 @@ NODE_CLASS_MAPPINGS = {
     "EmptyLatentImage": EmptyLatentImage,
     "LatentUpscale": LatentUpscale,
     "KSampler": KSampler,
+    "KSamplerAdvanced": KSamplerAdvanced,
     "VAEDecode": VAEDecode,
     "VAEEncode": VAEEncode,
     "SaveImage": SaveImage,
@@ -229,4 +293,7 @@ NODE_CLASS_MAPPINGS = {
     "ImageUpscaleWithModel": ImageUpscaleWithModel,
     "UltralyticsDetectorProvider": UltralyticsDetectorProvider,
     "SAMLoader": SAMLoader,
+    "BboxDetectorForEach": BboxDetectorForEach,
+    "SAMDetectorCombined": SAMDetectorCombined,
+    "SegsBitwiseAndMask": SegsBitwiseAndMask,
 }

@@ -101,6 +101,25 @@ def flash_attention(q, k, v, scale=None, block_q: int = 1024, block_k: int = 102
     block_k = min(block_k, t)
 
     d_pad = ((d + LANES - 1) // LANES) * LANES
+
+    # shrink blocks until the working set fits scoped VMEM (~16MB/core on
+    # v5e; budget 11MB for tiles incl. double buffering). Matters for large
+    # head dims at fp32 (VAE single-head attention: d=512).
+    itemsize = jnp.dtype(q.dtype).itemsize
+
+    def vmem_bytes(bq, bk):
+        tiles = (bq * d_pad + 2 * bk * d_pad) * itemsize * 2  # double-buffered
+        scores = bq * bk * 4
+        scratch = bq * d_pad * 4 + 2 * bq * LANES * 4
+        return tiles + scores + scratch
+
+    while vmem_bytes(block_q, block_k) > 11 * 1024 * 1024 and (
+        block_q > 128 or block_k > 128
+    ):
+        if block_k >= block_q and block_k > 128:
+            block_k //= 2
+        else:
+            block_q //= 2
     if d_pad != d:
         pad = [(0, 0)] * 3 + [(0, d_pad - d)]
         q = jnp.pad(q, pad)

@@ -157,14 +157,22 @@ class SDPipeline:
         disable_noise: bool = False,
         noise_mask: jnp.ndarray | None = None,
         differential_diffusion: bool = False,
+        start_step: int | None = None,
+        last_step: int | None = None,
     ) -> jnp.ndarray:
         """The KSampler node (ref KSampler2.sample :6704 / common_ksampler
         :6657): seeded noise + full jit'd sampling program. ``noise_mask``
-        (B,h,w,1): inpaint-style masked denoise (ref :2629/:9451)."""
+        (B,h,w,1): inpaint-style masked denoise (ref :2629/:9451).
+        ``start_step``/``last_step``: sigma-window slicing (the Impact-pack
+        ``separated_sample`` semantics, ref :9113)."""
         cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
         uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
         sigmas = SMP.sigmas_for(self.sd.model_sampling, scheduler, steps, denoise)
-        if sigmas.shape[0] == 0:
+        if start_step is not None or last_step is not None:
+            lo = start_step or 0
+            hi = last_step if last_step is not None else steps
+            sigmas = sigmas[lo : hi + 1]
+        if sigmas.shape[0] <= 1:
             return latent
         cfg_key = SampleConfig(
             steps, sampler_name, scheduler, denoise, disable_noise,
