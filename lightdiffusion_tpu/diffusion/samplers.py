@@ -30,6 +30,9 @@ from .noise import step_noise_key
 KSAMPLER_NAMES = [
     "euler",
     "euler_ancestral",
+    "heun",
+    "dpm_2",
+    "dpm_2_ancestral",
     "dpmpp_2m",
     "dpmpp_2m_sde",
     "dpm_adaptive",
@@ -174,6 +177,79 @@ def sample_ddim(denoise_fn, x, sigmas, key=None, callback=None, **_):
     return sample_euler(denoise_fn, x, sigmas, key, callback)
 
 
+def sample_heun(denoise_fn, x, sigmas, key=None, callback=None, **_):
+    """Heun's 2nd-order method (k-diffusion family; beyond the reference's
+    three samplers, standard in the ecosystem)."""
+
+    def body(x, args):
+        i, sigma, sigma_next = args
+        denoised = denoise_fn(x, sigma)
+        d = to_d(x, sigma, denoised)
+        x_euler = x + d * (sigma_next - sigma)
+
+        def heun(x_euler):
+            denoised_2 = denoise_fn(x_euler, sigma_next)
+            d_2 = to_d(x_euler, jnp.maximum(sigma_next, 1e-10), denoised_2)
+            d_prime = (d + d_2) / 2
+            return x + d_prime * (sigma_next - sigma)
+
+        x = jnp.where(sigma_next == 0, x_euler, heun(x_euler))
+        _maybe_callback(callback, i, x, denoised)
+        return x, None
+
+    n = sigmas.shape[0] - 1
+    x, _ = jax.lax.scan(body, x, (jnp.arange(n), sigmas[:-1], sigmas[1:]))
+    return x
+
+
+def sample_dpm_2(denoise_fn, x, sigmas, key=None, callback=None, **_):
+    """DPM-Solver-2 (midpoint in sigma space, log-midpoint evaluation)."""
+
+    def body(x, args):
+        i, sigma, sigma_next = args
+        denoised = denoise_fn(x, sigma)
+        d = to_d(x, sigma, denoised)
+        sn = jnp.maximum(sigma_next, 1e-10)
+        sigma_mid = jnp.exp(0.5 * (jnp.log(sigma) + jnp.log(sn)))
+        x_mid = x + d * (sigma_mid - sigma)
+        denoised_2 = denoise_fn(x_mid, sigma_mid)
+        d_2 = to_d(x_mid, sigma_mid, denoised_2)
+        x_2 = x + d_2 * (sigma_next - sigma)
+        x = jnp.where(sigma_next == 0, x + d * (sigma_next - sigma), x_2)
+        _maybe_callback(callback, i, x, denoised)
+        return x, None
+
+    n = sigmas.shape[0] - 1
+    x, _ = jax.lax.scan(body, x, (jnp.arange(n), sigmas[:-1], sigmas[1:]))
+    return x
+
+
+def sample_dpm_2_ancestral(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
+                           callback=None, **_):
+    """Ancestral DPM-Solver-2."""
+
+    def body(x, args):
+        i, sigma, sigma_next = args
+        denoised = denoise_fn(x, sigma)
+        sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next, eta)
+        d = to_d(x, sigma, denoised)
+        sd = jnp.maximum(sigma_down, 1e-10)
+        sigma_mid = jnp.exp(0.5 * (jnp.log(sigma) + jnp.log(sd)))
+        x_mid = x + d * (sigma_mid - sigma)
+        denoised_2 = denoise_fn(x_mid, sigma_mid)
+        d_2 = to_d(x_mid, sigma_mid, denoised_2)
+        x_2 = x + d_2 * (sigma_down - sigma)
+        noise = jax.random.normal(step_noise_key(key, i), x.shape, x.dtype)
+        x_2 = jnp.where(sigma_next > 0, x_2 + noise * (s_noise * sigma_up), x_2)
+        x = jnp.where(sigma_next == 0, denoised, x_2)
+        _maybe_callback(callback, i, x, denoised)
+        return x, None
+
+    n = sigmas.shape[0] - 1
+    x, _ = jax.lax.scan(body, x, (jnp.arange(n), sigmas[:-1], sigmas[1:]))
+    return x
+
+
 # --------------------------------------------------------------- adaptive ---
 def sample_dpm_adaptive(
     denoise_fn,
@@ -272,6 +348,9 @@ def sample_dpm_adaptive(
 SAMPLERS = {
     "euler": sample_euler,
     "euler_ancestral": sample_euler_ancestral,
+    "heun": sample_heun,
+    "dpm_2": sample_dpm_2,
+    "dpm_2_ancestral": sample_dpm_2_ancestral,
     "dpmpp_2m": sample_dpmpp_2m,
     "dpmpp_2m_sde": sample_dpmpp_2m_sde,
     "dpm_adaptive": sample_dpm_adaptive,

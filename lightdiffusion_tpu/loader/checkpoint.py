@@ -131,11 +131,22 @@ def load_checkpoint(
 
 
 def _convert_all(sd, unet_config, unet_dtype, clip_dtype, vae_dtype, pred):
+    # text-encoder family detection: SD2.x stores an OpenCLIP tower under
+    # cond_stage_model.model.* (beyond the reference's SD1.5-only registry)
+    if any(k.startswith("cond_stage_model.model.") for k in sd):
+        from ..models.clip import SD2_CLIP
+        from .clip_weights import convert_open_clip_text_model
+
+        clip_params = convert_open_clip_text_model(sd, dtype=clip_dtype)
+        clip_config = SD2_CLIP
+    else:
+        clip_params = convert_clip_text_model(sd, dtype=clip_dtype)
+        clip_config = SD1_CLIP
     return StableDiffusion(
         unet_params=convert_unet(sd, unet_config, dtype=unet_dtype),
         unet_config=unet_config,
-        clip_params=convert_clip_text_model(sd, dtype=clip_dtype),
-        clip_config=SD1_CLIP,
+        clip_params=clip_params,
+        clip_config=clip_config,
         vae_params=convert_vae(sd, SD15_VAE, dtype=vae_dtype),
         vae_config=SD15_VAE,
         model_sampling=make_discrete_sampling(pred),

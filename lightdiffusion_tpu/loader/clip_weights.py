@@ -67,3 +67,65 @@ def convert_clip_text_model(
     if tp in sd:
         params["text_projection"] = jnp.asarray(_t(np.asarray(sd[tp])), dtype)
     return params
+
+
+def convert_open_clip_text_model(
+    sd: dict, prefix: str = "cond_stage_model.model.", dtype=jnp.float32
+):
+    """OpenCLIP text tower (SD2.x checkpoints: ``cond_stage_model.model.``,
+    resblocks with fused attn.in_proj) → the same clip.py param tree.
+
+    The computation is identical to the OpenAI CLIP text model (pre-LN
+    blocks), only the naming, fused qkv, and activation (gelu) differ —
+    pair with ClipConfig(hidden_act='gelu'). Beyond the reference's SD1.5-only
+    support."""
+
+    def g(name):
+        return np.asarray(sd[prefix + name], np.float32)
+
+    n_layers = 0
+    while f"{prefix}transformer.resblocks.{n_layers}.ln_1.weight" in sd:
+        n_layers += 1
+    if n_layers == 0:
+        raise KeyError(f"no OpenCLIP layers under prefix {prefix!r}")
+    width = g("token_embedding.weight").shape[1]
+
+    def layer(i):
+        p = f"transformer.resblocks.{i}."
+        in_w = g(p + "attn.in_proj_weight")  # (3d, d)
+        in_b = g(p + "attn.in_proj_bias")
+        qw, kw, vw = np.split(in_w, 3, axis=0)
+        qb, kb, vb = np.split(in_b, 3, axis=0)
+        return {
+            "ln1": {"weight": g(p + "ln_1.weight"), "bias": g(p + "ln_1.bias")},
+            "ln2": {"weight": g(p + "ln_2.weight"), "bias": g(p + "ln_2.bias")},
+            "q": {"weight": _t(qw), "bias": qb},
+            "k": {"weight": _t(kw), "bias": kb},
+            "v": {"weight": _t(vw), "bias": vb},
+            "out": {"weight": _t(g(p + "attn.out_proj.weight")),
+                    "bias": g(p + "attn.out_proj.bias")},
+            "fc1": {"weight": _t(g(p + "mlp.c_fc.weight")),
+                    "bias": g(p + "mlp.c_fc.bias")},
+            "fc2": {"weight": _t(g(p + "mlp.c_proj.weight")),
+                    "bias": g(p + "mlp.c_proj.bias")},
+        }
+
+    import jax
+
+    layers = jax.tree_util.tree_map(
+        lambda *xs: jnp.asarray(np.stack(xs), dtype),
+        *[layer(i) for i in range(n_layers)],
+    )
+    params = {
+        "token_embedding": jnp.asarray(g("token_embedding.weight"), dtype),
+        "position_embedding": jnp.asarray(g("positional_embedding"), dtype),
+        "layers": layers,
+        "final_ln": {
+            "weight": jnp.asarray(g("ln_final.weight"), dtype),
+            "bias": jnp.asarray(g("ln_final.bias"), dtype),
+        },
+    }
+    if prefix + "text_projection" in sd:
+        # stored as a raw (width, embed) matrix applied x @ P — no transpose
+        params["text_projection"] = jnp.asarray(g("text_projection"), dtype)
+    return params

@@ -64,6 +64,14 @@ def _xattn(sd, pfx, dtype):
     }
 
 
+def _proj(sd, name, dtype):
+    """proj_in/proj_out: 1×1 conv (SD1.x) or linear (SD2.x)."""
+    w = np.asarray(sd[name + ".weight"], np.float32)
+    if w.ndim == 2:
+        return _lin(sd, name, dtype)
+    return _conv(sd, name, dtype)
+
+
 def _transformer(sd, pfx, depth, dtype):
     blocks = []
     for i in range(depth):
@@ -81,8 +89,8 @@ def _transformer(sd, pfx, depth, dtype):
         )
     return {
         "norm": _norm(sd, pfx + ".norm", dtype),
-        "proj_in": _conv(sd, pfx + ".proj_in", dtype),
-        "proj_out": _conv(sd, pfx + ".proj_out", dtype),
+        "proj_in": _proj(sd, pfx + ".proj_in", dtype),
+        "proj_out": _proj(sd, pfx + ".proj_out", dtype),
         "blocks": tuple(blocks),
     }
 
@@ -185,6 +193,16 @@ def detect_unet_config(sd: dict, prefix: str = "model.diffusion_model.") -> UNet
     res_counts.append(level_res)
     depths.append(level_depth)
 
+    # SD2.x fingerprints: linear transformer projections + 1024-dim context
+    # → num_head_channels 64 (the reference only registers SD1.5, :6015;
+    # this extends coverage to the SD2 family)
+    use_linear = False
+    for k in keys:
+        if k.endswith(".1.proj_in.weight"):
+            use_linear = len(sd[prefix + k].shape) == 2
+            break
+    context_dim = context_dim or 768
+    head_channels = 64 if (use_linear or context_dim >= 1024) else -1
     return UNetConfig(
         in_channels=in_channels,
         out_channels=out_channels,
@@ -192,6 +210,8 @@ def detect_unet_config(sd: dict, prefix: str = "model.diffusion_model.") -> UNet
         channel_mult=tuple(mults),
         num_res_blocks=tuple(res_counts),
         transformer_depth=tuple(depths),
-        context_dim=context_dim or 768,
+        context_dim=context_dim,
         num_heads=8,
+        num_head_channels=head_channels,
+        use_linear_projections=use_linear,
     )

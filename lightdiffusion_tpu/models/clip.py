@@ -40,9 +40,15 @@ class ClipConfig:
     max_positions: int = 77
     hidden_act: str = "quick_gelu"
     projection_dim: int | None = None  # SD1.5 text encoder has no projection
+    pad_with_end: bool = True  # SD1.x pads with EOS; SD2.x with token 0
 
 
 SD1_CLIP = ClipConfig()
+# SD2.x OpenCLIP ViT-H text tower (beyond the reference's SD1.5-only support)
+SD2_CLIP = ClipConfig(
+    hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096,
+    hidden_act="gelu", pad_with_end=False,
+)
 
 
 def _act(name: str):
@@ -163,7 +169,9 @@ class ClipTextEncoder:
     ):
         self.params = params
         self.cfg = cfg
-        self.tokenizer = tokenizer or SDTokenizer()
+        self.tokenizer = tokenizer or SDTokenizer(
+            embedding_size=cfg.hidden_size, pad_with_end=cfg.pad_with_end
+        )
         self.policy = policy
         self.clip_skip = clip_skip
         self._token_table = np.asarray(params["token_embedding"], np.float32)

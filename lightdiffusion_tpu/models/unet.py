@@ -40,8 +40,15 @@ class UNetConfig:
     transformer_depth: tuple = (1, 1, 1, 0)  # 0 = no attention at that level
     context_dim: int = 768
     num_heads: int = 8
+    num_head_channels: int = -1  # SD2: 64 → heads = C // 64 per level
+    use_linear_projections: bool = False  # SD2: linear proj_in/out
     dropout: float = 0.0
     attn_force: str | None = None  # attention backend override for tests
+
+    def heads_for(self, channels: int) -> int:
+        if self.num_head_channels > 0:
+            return channels // self.num_head_channels
+        return self.num_heads
 
     @property
     def time_embed_dim(self) -> int:
@@ -49,6 +56,10 @@ class UNetConfig:
 
 
 SD15_UNET = UNetConfig()
+# SD2.x (beyond the reference, which registers only sm_SD15 at :6015)
+SD21_UNET = UNetConfig(
+    context_dim=1024, num_head_channels=64, use_linear_projections=True
+)
 
 
 # ------------------------------------------------------------------ plan ----
@@ -140,17 +151,27 @@ def transformer_block_apply(p, x, context, num_heads, policy, force=None):
 
 
 def spatial_transformer_apply(p, x, context, num_heads, policy, force=None):
-    """GN → 1×1 conv in → (B,HW,C) blocks → 1×1 conv out → +residual
-    (ref :4165-4262)."""
+    """GN → proj in → (B,HW,C) blocks → proj out → +residual (ref :4165-4262).
+    Projections are 1×1 convs (SD1.x) or linears (SD2.x,
+    use_linear_in_transformer) — distinguished by the weight rank."""
     b, h, w, c = x.shape
     residual = x
     x = L.group_norm(p["norm"], x, eps=1e-6, policy=policy)
-    x = L.conv2d(p["proj_in"], x, policy=policy)
-    x = x.reshape(b, h * w, c)
+    linear_proj = p["proj_in"]["weight"].ndim == 2
+    if linear_proj:
+        x = x.reshape(b, h * w, c)
+        x = L.linear(p["proj_in"], x, policy)
+    else:
+        x = L.conv2d(p["proj_in"], x, policy=policy)
+        x = x.reshape(b, h * w, c)
     for blk in p["blocks"]:
         x = transformer_block_apply(blk, x, context, num_heads, policy, force)
-    x = x.reshape(b, h, w, c)
-    x = L.conv2d(p["proj_out"], x, policy=policy)
+    if linear_proj:
+        x = L.linear(p["proj_out"], x, policy)
+        x = x.reshape(b, h, w, c)
+    else:
+        x = x.reshape(b, h, w, c)
+        x = L.conv2d(p["proj_out"], x, policy=policy)
     return x + residual
 
 
@@ -176,7 +197,8 @@ def _block_apply(spec: BlockSpec, p, h, emb, context, cfg, policy):
     h = resblock_apply(p["res"], h, emb, policy)
     if spec.kind == "res_attn":
         h = spatial_transformer_apply(
-            p["attn"], h, context, cfg.num_heads, policy, cfg.attn_force
+            p["attn"], h, context, cfg.heads_for(spec.ch_out), policy,
+            cfg.attn_force,
         )
     return h
 
@@ -205,9 +227,11 @@ def apply_unet(
         h = _block_apply(spec, p, h, emb, context, cfg, policy)
         hs.append(h)
 
+    mid_ch = cfg.model_channels * cfg.channel_mult[-1]
     h = resblock_apply(params["middle"]["res1"], h, emb, policy)
     h = spatial_transformer_apply(
-        params["middle"]["attn"], h, context, cfg.num_heads, policy, cfg.attn_force
+        params["middle"]["attn"], h, context, cfg.heads_for(mid_ch), policy,
+        cfg.attn_force,
     )
     h = resblock_apply(params["middle"]["res2"], h, emb, policy)
 
@@ -217,7 +241,8 @@ def apply_unet(
         h = resblock_apply(p["res"], h, emb, policy)
         if spec.kind == "res_attn":
             h = spatial_transformer_apply(
-                p["attn"], h, context, cfg.num_heads, policy, cfg.attn_force
+                p["attn"], h, context, cfg.heads_for(spec.ch_out), policy,
+                cfg.attn_force,
             )
         if spec.upsample:
             out_hw = None
@@ -255,7 +280,7 @@ def _init_xattn(key, c, ctx, dtype):
     }
 
 
-def _init_transformer(key, c, ctx, depth, dtype):
+def _init_transformer(key, c, ctx, depth, dtype, linear_proj=False):
     ks = jax.random.split(key, depth + 2)
     blocks = []
     for i in range(depth):
@@ -271,10 +296,16 @@ def _init_transformer(key, c, ctx, depth, dtype):
                 "ff_out": L.init_linear(kk[3], c * 4, c, dtype=dtype),
             }
         )
+    if linear_proj:
+        proj_in = L.init_linear(ks[-2], c, c, dtype=dtype)
+        proj_out = L.init_linear(ks[-1], c, c, dtype=dtype)
+    else:
+        proj_in = L.init_conv2d(ks[-2], 1, 1, c, c, dtype=dtype)
+        proj_out = L.init_conv2d(ks[-1], 1, 1, c, c, dtype=dtype)
     return {
         "norm": L.init_norm(c, dtype),
-        "proj_in": L.init_conv2d(ks[-2], 1, 1, c, c, dtype=dtype),
-        "proj_out": L.init_conv2d(ks[-1], 1, 1, c, c, dtype=dtype),
+        "proj_in": proj_in,
+        "proj_out": proj_out,
         "blocks": tuple(blocks),
     }
 
@@ -298,7 +329,8 @@ def init_unet_params(key, cfg: UNetConfig = SD15_UNET, dtype=jnp.float32):
         }
         if spec.kind == "res_attn":
             p["attn"] = _init_transformer(
-                kk[1], spec.ch_out, cfg.context_dim, spec.depth, dtype
+                kk[1], spec.ch_out, cfg.context_dim, spec.depth, dtype,
+                cfg.use_linear_projections,
             )
         if spec.upsample:
             p["up"] = {
@@ -314,7 +346,10 @@ def init_unet_params(key, cfg: UNetConfig = SD15_UNET, dtype=jnp.float32):
         "input_blocks": tuple(init_block(s, False) for s in input_plan),
         "middle": {
             "res1": _init_res(mk[0], mid_ch, mid_ch, emb_dim, dtype),
-            "attn": _init_transformer(mk[1], mid_ch, cfg.context_dim, 1, dtype),
+            "attn": _init_transformer(
+                mk[1], mid_ch, cfg.context_dim, 1, dtype,
+                cfg.use_linear_projections,
+            ),
             "res2": _init_res(mk[2], mid_ch, mid_ch, emb_dim, dtype),
         },
         "output_blocks": tuple(init_block(s, True) for s in output_plan),

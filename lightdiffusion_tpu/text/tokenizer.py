@@ -43,6 +43,7 @@ class SDTokenizer:
         tokenizer_dir: str | Path | None = None,
         embedding_dir: str | Path | None = None,
         embedding_size: int = 768,
+        pad_with_end: bool = True,
     ):
         d = Path(tokenizer_dir) if tokenizer_dir else assets.resolve_dir("sd1_tokenizer")
         self.bpe = ClipBPE(d / "vocab.json", d / "merges.txt")
@@ -51,7 +52,8 @@ class SDTokenizer:
         self.embedding_identifier = "embedding:"
         self.bos = self.bpe.bos_token_id
         self.eos = self.bpe.eos_token_id
-        self.pad = self.eos  # SD1.x pads with EOS
+        # SD1.x pads with EOS; SD2.x pads with token 0 (pad_with_end=False)
+        self.pad = self.eos if pad_with_end else 0
 
     def _try_load_embedding(self, name: str):
         from ..loader.embeddings import load_textual_inversion

@@ -142,3 +142,20 @@ def test_context_padding_lcm():
     p = pad_context_to(c, 154)
     assert p.shape == (1, 154, 4)
     np.testing.assert_array_equal(np.asarray(p[:, 77:]), np.asarray(c))
+
+
+def test_higher_order_samplers_linear_ode():
+    """heun/dpm_2 are 2nd order: much better than euler at equal steps."""
+    a = 0.25
+    sig0, sig1 = 10.0, 0.1
+
+    def den(x, sigma):
+        return a * x
+
+    x_init = jnp.full(SHAPE, 2.0)
+    exact = 2.0 * (sig1 / sig0) ** (1 - a)
+    sigmas = jnp.asarray(np.geomspace(sig0, sig1, 12), jnp.float32)
+    e_euler = abs(float(S.sample_euler(den, x_init, sigmas)[0, 0, 0, 0]) - exact)
+    for name in ("heun", "dpm_2"):
+        e = abs(float(S.get_sampler(name)(den, x_init, sigmas)[0, 0, 0, 0]) - exact)
+        assert e < e_euler / 3, (name, e, e_euler)

@@ -845,3 +845,54 @@ class MiniSam(nn.Module):
         x = F.relu(m.layers[0](x))
         x = F.relu(m.layers[1](x))
         return m.layers[2](x)
+
+
+# ------------------------------------------------------- OpenCLIP text ------
+class OpenClipBlock(nn.Module):
+    """CLIP resblock with fused in_proj (open_clip naming)."""
+
+    def __init__(self, d, heads):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(d)
+        self.attn = nn.MultiheadAttention(d, heads, batch_first=True)
+        self.ln_2 = nn.LayerNorm(d)
+        self.mlp = nn.Module()
+        self.mlp.c_fc = nn.Linear(d, d * 4)
+        self.mlp.c_proj = nn.Linear(d * 4, d)
+
+    def forward(self, x, mask):
+        a, _ = self.attn(self.ln_1(x), self.ln_1(x), self.ln_1(x),
+                         attn_mask=mask, need_weights=False)
+        x = x + a
+        x = x + self.mlp.c_proj(F.gelu(self.mlp.c_fc(self.ln_2(x))))
+        return x
+
+
+class MiniOpenClipText(nn.Module):
+    """SD2-style text tower, 'cond_stage_model.model.'-compatible keys."""
+
+    def __init__(self, vocab=1000, d=64, layers=3, heads=4, ctx=77):
+        super().__init__()
+        self.token_embedding = nn.Embedding(vocab, d)
+        self.positional_embedding = nn.Parameter(torch.randn(ctx, d) * 0.01)
+        self.transformer = nn.Module()
+        self.transformer.resblocks = nn.ModuleList(
+            [OpenClipBlock(d, heads) for _ in range(layers)]
+        )
+        self.ln_final = nn.LayerNorm(d)
+        self.text_projection = nn.Parameter(torch.randn(d, d) * 0.02)
+
+    def forward(self, ids, penultimate=False):
+        t = ids.shape[1]
+        x = self.token_embedding(ids) + self.positional_embedding[:t]
+        mask = torch.full((t, t), float("-inf")).triu(1)
+        hidden = None
+        for i, blk in enumerate(self.transformer.resblocks):
+            x = blk(x, mask)
+            if i == len(self.transformer.resblocks) - 2:
+                hidden = x
+        tap = hidden if penultimate else x
+        out = self.ln_final(tap)
+        last = self.ln_final(x)
+        pooled = last[torch.arange(x.shape[0]), ids.argmax(-1)] @ self.text_projection
+        return out, pooled
