@@ -43,18 +43,28 @@ def main():
         sampler_name="euler_ancestral", scheduler="karras",
     )
 
+    # single-image latency (the <1s/image target)
     t0 = time.perf_counter()
-    img = txt2img(pipe, seed=0, **kwargs)
+    img = txt2img(pipe, seed=0, batch=1, **kwargs)
     log(f"first image (compile+run): {time.perf_counter()-t0:.1f}s shape={img.shape}")
     assert np.isfinite(img).all()
+    t0 = time.perf_counter()
+    for i in range(3):
+        img = txt2img(pipe, seed=i + 1, batch=1, **kwargs)
+    lat = (time.perf_counter() - t0) / 3
+    log(f"batch-1 latency: {lat*1000:.0f} ms/image")
 
+    # serving throughput at the saturating batch (measured: 4)
+    batch = 4
+    img = txt2img(pipe, seed=0, batch=batch, **kwargs)  # compile
     n = 3
     t0 = time.perf_counter()
     for i in range(n):
-        img = txt2img(pipe, seed=i + 1, **kwargs)
-    per_image = (time.perf_counter() - t0) / n
+        img = txt2img(pipe, seed=i + 1, batch=batch, **kwargs)
+    per_image = (time.perf_counter() - t0) / n / batch
     images_per_min = 60.0 / per_image
-    log(f"steady state: {per_image*1000:.0f} ms/image -> {images_per_min:.1f} images/min/chip")
+    log(f"batch-{batch} throughput: {per_image*1000:.0f} ms/image -> "
+        f"{images_per_min:.1f} images/min/chip")
     log(f"per-UNet-step (incl. CLIP+VAE amortized): {per_image/20*1000:.1f} ms")
 
     print(json.dumps({
