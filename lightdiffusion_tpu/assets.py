@@ -25,6 +25,7 @@ ASSET_CLASSES = [
     "embeddings",
     "ESRGAN",
     "yolos",
+    "vae_approx",  # TAESD weights
     "clip",
     "sd1_tokenizer",
     "output",

@@ -37,6 +37,20 @@ class GenerationController:
         self.interrupt_flag = False
         self.current_checkpoint = None
         self.current_lora = None
+        self._taesd = self._try_load_taesd()
+
+    @staticmethod
+    def _try_load_taesd():
+        """TAESD previews when taesd_decoder weights exist (ref :761-777);
+        falls back to the linear latent→RGB projection otherwise."""
+        try:
+            from ..loader.checkpoint import load_torch_file
+            from ..models.taesd import convert_taesd_decoder
+
+            path = assets.resolve_file("vae_approx", "taesd_decoder")
+            return convert_taesd_decoder(load_torch_file(path))
+        except Exception:
+            return None
 
     def interrupt(self):
         self.interrupt_flag = True
@@ -96,9 +110,16 @@ class GenerationController:
             if preview_cb is not None:
                 import jax.numpy as jnp
 
-                preview = np.asarray(
-                    latent_to_rgb_preview(jnp.asarray(latent_np[:1]))
-                )[0]
+                if self._taesd is not None:
+                    from ..models.taesd import taesd_decode
+
+                    preview = np.asarray(
+                        taesd_decode(self._taesd, jnp.asarray(latent_np[:1]))
+                    )[0]
+                else:
+                    preview = np.asarray(
+                        latent_to_rgb_preview(jnp.asarray(latent_np[:1]))
+                    )[0]
                 preview_cb(preview)
             return not self.interrupt_flag
 

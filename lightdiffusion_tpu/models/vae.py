@@ -142,6 +142,38 @@ class VAE:
         z = sample_diagonal_gaussian(moments.astype(jnp.float32), key)
         return z * self.cfg.scale_factor
 
+    def decode_tiled(self, latent, tile: int = 64, overlap: int = 8):
+        """Tiled decode for latents too large for one program — the OOM
+        fallback the reference CALLS but never defines (``vae.decode_tiled``
+        at LightDiffusion.py:9338 is an AttributeError in the reference;
+        SURVEY §5.3). Feather-blended latent tiles via postprocess.tiling."""
+        import numpy as np
+
+        from ..postprocess.tiling import tiled_apply
+
+        out = tiled_apply(
+            lambda t: self.decode(t), np.asarray(latent, np.float32),
+            scale=self.cfg.downscale_ratio, tile=tile, overlap=overlap,
+            tile_batch=1, out_channels=self.cfg.out_channels,
+        )
+        return jnp.asarray(out)
+
+    def encode_tiled(self, pixels, tile: int = 512, overlap: int = 64, key=None):
+        """Tiled encode (large img2img inputs): pixel tiles → latent tiles at
+        1/r scale, feather-blended in latent space."""
+        import numpy as np
+
+        from ..postprocess.tiling import tiled_apply
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        r = self.cfg.downscale_ratio
+        out = tiled_apply(
+            lambda t: self.encode(t, key=key),
+            np.asarray(pixels, np.float32), scale=1.0 / r, tile=tile,
+            overlap=overlap, tile_batch=1, out_channels=self.cfg.z_channels,
+        )
+        return jnp.asarray(out)
+
 
 # ------------------------------------------------------------------ init ----
 def _init_resnet(key, cin, cout, dtype):

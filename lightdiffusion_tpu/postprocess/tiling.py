@@ -47,15 +47,18 @@ def tile_grid(h: int, w: int, tile: int, overlap: int):
 def tiled_apply(
     fn,
     images: np.ndarray,  # (B, H, W, C)
-    scale: int,
+    scale: float,
     tile: int = 512,
     overlap: int = 32,
     tile_batch: int = 4,
+    out_channels: int | None = None,
 ) -> np.ndarray:
     """Apply fn (NHWC→NHWC, ×scale) over overlapping tiles, feather-blend.
 
     fn receives (N, tile, tile, C) batches (padded tiles at borders), so one
-    compiled program serves every tile.
+    compiled program serves every tile. ``scale`` may be fractional (e.g.
+    1/8 for tiled VAE *encode*) as long as tile·scale and the grid
+    coordinates·scale are integral.
     """
     b, h, w, c = images.shape
     images = np.asarray(images, np.float32)
@@ -67,9 +70,16 @@ def tiled_apply(
     h2, w2 = images.shape[1:3]
 
     coords = tile_grid(h2, w2, tile, overlap)
-    out = np.zeros((b, h2 * scale, w2 * scale, c), np.float32)
-    div = np.zeros((b, h2 * scale, w2 * scale, 1), np.float32)
-    mask = _feather_mask(tile * scale, tile * scale, overlap * scale)
+
+    def s(v: float) -> int:
+        sv = v * scale
+        assert abs(sv - round(sv)) < 1e-6, (v, scale)
+        return int(round(sv))
+
+    oc = out_channels if out_channels is not None else c
+    out = np.zeros((b, s(h2), s(w2), oc), np.float32)
+    div = np.zeros((b, s(h2), s(w2), 1), np.float32)
+    mask = _feather_mask(s(tile), s(tile), max(s(overlap), 1))
 
     tiles = np.stack(
         [images[i, y : y + tile, x : x + tile] for i in range(b) for (y, x) in coords]
@@ -88,10 +98,10 @@ def tiled_apply(
     k = 0
     for i in range(b):
         for (y, x) in coords:
-            ys, xs = y * scale, x * scale
-            ts = tile * scale
+            ys, xs = s(y), s(x)
+            ts = s(tile)
             out[i, ys : ys + ts, xs : xs + ts] += results[k] * mask
             div[i, ys : ys + ts, xs : xs + ts] += mask
             k += 1
     blended = out / np.maximum(div, 1e-8)
-    return blended[:, : h * scale, : w * scale]
+    return blended[:, : s(h), : s(w)]

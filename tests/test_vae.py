@@ -93,3 +93,25 @@ def test_diagonal_gaussian_stats():
     s = V.sample_diagonal_gaussian(moments, jax.random.PRNGKey(0))
     # logvar clamped at -30 → tiny std → sample ≈ mean
     np.testing.assert_allclose(np.asarray(s), 3.0, atol=1e-3)
+
+
+def test_decode_tiled_matches_full():
+    params = V.init_vae_params(jax.random.PRNGKey(0), TINY)
+    vae = V.VAE(params, TINY, policy=L.FP32)
+    z = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 4) * 0.2, jnp.float32)
+    full = np.asarray(vae.decode(z))
+    tiled = np.asarray(vae.decode_tiled(z, tile=8, overlap=2))
+    assert tiled.shape == full.shape
+    # tiled decode is approximate by nature: the mid-block attention is
+    # GLOBAL, so each tile sees less context (true of all tiled-VAE impls)
+    assert np.median(np.abs(tiled - full)) < 0.1
+    assert np.isfinite(tiled).all()
+
+
+def test_encode_tiled_shape():
+    params = V.init_vae_params(jax.random.PRNGKey(0), TINY)
+    vae = V.VAE(params, TINY, policy=L.FP32)
+    px = jnp.asarray(np.random.RandomState(1).rand(1, 64, 48, 3), jnp.float32)
+    z = vae.encode_tiled(px, tile=32, overlap=8)
+    assert z.shape == (1, 32, 24, 4)
+    assert np.isfinite(np.asarray(z)).all()
