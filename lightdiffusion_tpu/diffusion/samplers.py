@@ -372,11 +372,21 @@ def get_sampler(name: str):
 # reference's per-step interrupt_flag polling + preview threads
 # (LightDiffusion.py:922/:937/:1076; SURVEY §7 "chunk the scan").
 
+def _as_stateful(denoise_fn):
+    """Lift a plain denoise(x, sigma) to the stateful protocol
+    denoise(x, sigma, i, state) -> (denoised, state)."""
+
+    def fn(x, sigma, i, state):
+        return denoise_fn(x, sigma), state
+
+    return fn
+
+
 def _euler_body(denoise_fn, key, eta, s_noise, ancestral):
     def body(carry, args):
-        x, old_d, h_last = carry
+        x, old_d, h_last, state = carry
         i, sigma, sigma_next = args
-        denoised = denoise_fn(x, sigma)
+        denoised, state = denoise_fn(x, sigma, i, state)
         if ancestral:
             sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next, eta)
         else:
@@ -386,16 +396,16 @@ def _euler_body(denoise_fn, key, eta, s_noise, ancestral):
         if ancestral:
             noise = jax.random.normal(step_noise_key(key, i), x.shape, x.dtype)
             x = jnp.where(sigma_next > 0, x + noise * (s_noise * sigma_up), x)
-        return (x, denoised, h_last), None
+        return (x, denoised, h_last, state), None
 
     return body
 
 
 def _dpmpp_2m_sde_body(denoise_fn, key, eta, s_noise):
     def body(carry, args):
-        x, old_denoised, h_last = carry
+        x, old_denoised, h_last, state = carry
         i, sigma, sigma_next = args
-        denoised = denoise_fn(x, sigma)
+        denoised, state = denoise_fn(x, sigma, i, state)
         t = -jnp.log(sigma)
         s = -jnp.log(jnp.maximum(sigma_next, 1e-10))
         h = s - t
@@ -414,29 +424,30 @@ def _dpmpp_2m_sde_body(denoise_fn, key, eta, s_noise):
             sigma_next * jnp.sqrt(-jnp.expm1(-2 * eta_h)) * s_noise
         )
         x = jnp.where(sigma_next == 0, denoised, x_new)
-        return (x, denoised, h), None
+        return (x, denoised, h, state), None
 
     return body
 
 
-def make_stepper(name: str, denoise_fn, key, eta=1.0, s_noise=1.0):
-    """Returns a scan body with the uniform carry protocol, or None if the
-    sampler has no fixed-step form (dpm_adaptive)."""
+def make_stepper(name: str, denoise_fn, key, eta=1.0, s_noise=1.0,
+                 stateful: bool = False):
+    """Returns a scan body with the uniform carry protocol
+    (x, old_denoised, h_last, state), or None if the sampler has no
+    fixed-step form (dpm_adaptive). ``stateful``: denoise_fn already has the
+    (x, sigma, i, state)->(denoised, state) signature (e.g. DeepCache)."""
+    fn = denoise_fn if stateful else _as_stateful(denoise_fn)
     if name in ("euler", "ddim"):
-        return _euler_body(denoise_fn, key, eta, s_noise, ancestral=False)
+        return _euler_body(fn, key, eta, s_noise, ancestral=False)
     if name == "euler_ancestral":
-        return _euler_body(denoise_fn, key, eta, s_noise, ancestral=True)
+        return _euler_body(fn, key, eta, s_noise, ancestral=True)
     if name == "dpmpp_2m_sde":
-        return _dpmpp_2m_sde_body(denoise_fn, key, eta, s_noise)
-    if name == "dpmpp_2m":
-        # reuse the SDE body shape with eta=0-style deterministic update
-        return None
+        return _dpmpp_2m_sde_body(fn, key, eta, s_noise)
     return None
 
 
-def run_steps(body, x, aux, indices, sigmas_pairs):
+def run_steps(body, x, aux, indices, sigmas_pairs, state=()):
     """Scan `body` over the given absolute indices / sigma pairs.
     aux = (old_denoised, h_last)."""
-    carry = (x, aux[0], aux[1])
-    (x, od, hl), _ = jax.lax.scan(body, carry, (indices,) + sigmas_pairs)
-    return x, (od, hl)
+    carry = (x, aux[0], aux[1], state)
+    (x, od, hl, state), _ = jax.lax.scan(body, carry, (indices,) + sigmas_pairs)
+    return x, (od, hl), state

@@ -255,6 +255,111 @@ def apply_unet(
     return h.astype(x.dtype)
 
 
+# ------------------------------------------------------------ deep cache ----
+def _split_plans(cfg: UNetConfig, cache_level: int):
+    """Split block plans into shallow (levels < cache_level) and deep parts."""
+    input_plan, output_plan = build_plan(cfg)
+    n_shallow_in = 1  # conv_in
+    for level in range(cache_level):
+        n_shallow_in += cfg.num_res_blocks[level]
+        if level != len(cfg.channel_mult) - 1:
+            n_shallow_in += 1  # downsample
+    n_deep_out = 0
+    for level in reversed(range(len(cfg.channel_mult))):
+        if level >= cache_level:
+            n_deep_out += cfg.num_res_blocks[level] + 1
+    return input_plan, output_plan, n_shallow_in, n_deep_out
+
+
+def deepcache_shape(cfg: UNetConfig, h: int, w: int, batch: int,
+                    cache_level: int = 1):
+    """Shape of the cached junction tensor for latents (batch, h, w, 4)."""
+    scale = 2 ** (cache_level - 1)
+    ch = cfg.model_channels * cfg.channel_mult[cache_level]
+    return (batch, h // scale, w // scale, ch)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "policy", "cache_level"))
+def apply_unet_cached(
+    params,
+    x: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    context: jnp.ndarray,
+    cache: jnp.ndarray,
+    refresh: jnp.ndarray,  # scalar bool: recompute the deep blocks?
+    cfg: UNetConfig = SD15_UNET,
+    policy: L.Policy = L.DEFAULT_POLICY,
+    cache_level: int = 1,
+):
+    """DeepCache-style forward ("Cache Me if You Can", arXiv 2312.03209;
+    PAPERS.md): shallow blocks (levels < cache_level) always run; the deep
+    sub-UNet (levels ≥ cache_level + middle) runs only when ``refresh`` and
+    its output at the up-path junction is cached otherwise. Opt-in
+    accelerator ABSENT in the reference — its stable-fast wrapper (:9673)
+    kept numerics; this trades a small quality delta for ~step-rate.
+
+    Returns (eps, new_cache)."""
+    input_plan, output_plan, n_si, n_do = _split_plans(cfg, cache_level)
+
+    t_emb = L.timestep_embedding(timesteps, cfg.model_channels)
+    emb = L.linear(params["time_fc1"], t_emb.astype(policy.compute_dtype), policy)
+    emb = L.linear(params["time_fc2"], L.silu(emb), policy)
+
+    h = x.astype(policy.compute_dtype)
+    context = context.astype(policy.compute_dtype)
+
+    hs_shallow = []
+    for spec, p in zip(input_plan[:n_si], params["input_blocks"][:n_si]):
+        h = _block_apply(spec, p, h, emb, context, cfg, policy)
+        hs_shallow.append(h)
+
+    def deep(h):
+        # the junction tensor doubles as the last shallow skip (it is the
+        # downsample output), consumed by the deepest level-(cache_level)
+        # output block
+        hs = [h]
+        for spec, p in zip(input_plan[n_si:], params["input_blocks"][n_si:]):
+            h = _block_apply(spec, p, h, emb, context, cfg, policy)
+            hs.append(h)
+        mid_ch = cfg.model_channels * cfg.channel_mult[-1]
+        h = resblock_apply(params["middle"]["res1"], h, emb, policy)
+        h = spatial_transformer_apply(
+            params["middle"]["attn"], h, context, cfg.heads_for(mid_ch),
+            policy, cfg.attn_force,
+        )
+        h = resblock_apply(params["middle"]["res2"], h, emb, policy)
+        for spec, p in zip(output_plan[:n_do], params["output_blocks"][:n_do]):
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            h = resblock_apply(p["res"], h, emb, policy)
+            if spec.kind == "res_attn":
+                h = spatial_transformer_apply(
+                    p["attn"], h, context, cfg.heads_for(spec.ch_out), policy,
+                    cfg.attn_force,
+                )
+            if spec.upsample:
+                h = upsample_apply(p["up"], h, policy)
+        return h.astype(cache.dtype)
+
+    new_cache = jax.lax.cond(refresh, deep, lambda _: cache, h)
+
+    hs_shallow.pop()  # junction skip: consumed inside deep()
+    h = new_cache.astype(policy.compute_dtype)
+    for spec, p in zip(output_plan[n_do:], params["output_blocks"][n_do:]):
+        h = jnp.concatenate([h, hs_shallow.pop()], axis=-1)
+        h = resblock_apply(p["res"], h, emb, policy)
+        if spec.kind == "res_attn":
+            h = spatial_transformer_apply(
+                p["attn"], h, context, cfg.heads_for(spec.ch_out), policy,
+                cfg.attn_force,
+            )
+        if spec.upsample:
+            h = upsample_apply(p["up"], h, policy)
+
+    h = L.group_norm(params["out_norm"], h, eps=1e-5, policy=policy)
+    h = L.conv2d(params["out_conv"], L.silu(h), policy=policy)
+    return h.astype(x.dtype), new_cache
+
+
 # ------------------------------------------------------------------ init ----
 def _init_res(key, ch_in, ch_out, emb_dim, dtype):
     ks = jax.random.split(key, 4)

@@ -43,6 +43,7 @@ class SampleConfig:
     uncond_len: int = 77
     masked: bool = False
     differential_diffusion: bool = False
+    deepcache: int = 0  # >1: refresh deep UNet blocks every N steps
 
 
 class SDPipeline:
@@ -113,6 +114,11 @@ class SDPipeline:
         def unet_apply(params, x, t, ctx):
             return U.apply_unet(params, x, t, ctx, cfg=unet_cfg, policy=policy)
 
+        if cfg_key.deepcache > 1:
+            program = self._deepcache_program(cfg_key, sigmas)
+            self._programs[key] = program
+            return program
+
         @jax.jit
         def program(unet_params, noise, latent, cond, uncond, cfg_scale, key,
                     mask=None):
@@ -159,6 +165,7 @@ class SDPipeline:
         differential_diffusion: bool = False,
         start_step: int | None = None,
         last_step: int | None = None,
+        deepcache_interval: int = 0,
     ) -> jnp.ndarray:
         """The KSampler node (ref KSampler2.sample :6704 / common_ksampler
         :6657): seeded noise + full jit'd sampling program. ``noise_mask``
@@ -179,6 +186,7 @@ class SDPipeline:
             cond.shape[1], uncond.shape[1],
             masked=noise_mask is not None,
             differential_diffusion=differential_diffusion and noise_mask is not None,
+            deepcache=deepcache_interval if noise_mask is None else 0,
         )
         program = self._sample_program(cfg_key, sigmas.tobytes())
         noise = (
@@ -198,6 +206,88 @@ class SDPipeline:
                 mask = mask[..., None]
             args.append(mask)
         return program(*args)
+
+    def _deepcache_program(self, cfg_key: SampleConfig, sigmas: np.ndarray):
+        """Sampling program with DeepCache deep-block reuse (arXiv 2312.03209,
+        PAPERS.md): the deep UNet half recomputes every ``deepcache`` steps.
+        Opt-in accelerator beyond the reference."""
+        import math as _math
+
+        from ..diffusion.samplers import make_stepper, run_steps
+
+        ms = self.sd.model_sampling
+        unet_cfg = self.sd.unet_config
+        policy = self.policy
+        interval = cfg_key.deepcache
+
+        if make_stepper(
+            cfg_key.sampler_name, lambda x, s: x, jax.random.PRNGKey(0)
+        ) is None:
+            raise ValueError(
+                f"deepcache unsupported for sampler {cfg_key.sampler_name!r} "
+                "(needs a fixed-step single-eval form)"
+            )
+
+        max_denoise = _math.isclose(
+            float(sigmas[0]), float(ms.sigma_max), rel_tol=1e-3
+        ) or float(sigmas[0]) > float(ms.sigma_max)
+        n = sigmas.shape[0] - 1
+
+        @jax.jit
+        def program(unet_params, noise, latent, cond, uncond, cfg_scale, key):
+            from ..diffusion.cfg import common_context_length, pad_context_to
+
+            b = latent.shape[0]
+            target = common_context_length(cond.shape[1], uncond.shape[1])
+            cond_p = pad_context_to(cond, target)
+            uncond_p = pad_context_to(uncond, target)
+            context = jnp.concatenate(
+                [
+                    jnp.broadcast_to(cond_p, (b,) + cond_p.shape[1:]),
+                    jnp.broadcast_to(uncond_p, (b,) + uncond_p.shape[1:]),
+                ],
+                axis=0,
+            ).astype(policy.compute_dtype)
+
+            def denoise_cached(x, sigma, i, cache):
+                sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
+                x_in = ms.calculate_input(sigma_b, x)
+                t = ms.timestep(sigma_b)
+                x2 = jnp.concatenate([x_in, x_in], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                refresh = (i % interval) == 0
+                eps2, cache = U.apply_unet_cached(
+                    unet_params, x2.astype(policy.compute_dtype), t2, context,
+                    cache, refresh, cfg=unet_cfg, policy=policy,
+                )
+                den2 = ms.calculate_denoised(
+                    jnp.concatenate([sigma_b, sigma_b]),
+                    eps2.astype(jnp.float32),
+                    jnp.concatenate([x, x], axis=0),
+                )
+                d_cond, d_uncond = den2[:b], den2[b:]
+                return d_uncond + (d_cond - d_uncond) * cfg_scale, cache
+
+            x = ms.noise_scaling(
+                jnp.float32(sigmas[0]), noise.astype(jnp.float32),
+                latent.astype(jnp.float32), max_denoise,
+            )
+            body = make_stepper(
+                cfg_key.sampler_name, denoise_cached, key, stateful=True
+            )
+            cache0 = jnp.zeros(
+                U.deepcache_shape(unet_cfg, latent.shape[1], latent.shape[2],
+                                  2 * b),
+                policy.compute_dtype,
+            )
+            x, _, _ = run_steps(
+                body, x, (jnp.zeros_like(x), jnp.float32(1.0)),
+                jnp.arange(n), (jnp.asarray(sigmas[:-1]), jnp.asarray(sigmas[1:])),
+                state=cache0,
+            )
+            return ms.inverse_noise_scaling(jnp.float32(sigmas[-1]), x)
+
+        return program
 
     # --------------------------------------------- chunked (interruptible) --
     def _chunk_program(self, cfg_key: SampleConfig, chunk_len: int):
@@ -220,7 +310,8 @@ class SDPipeline:
                 unet_apply, unet_params, cond, uncond, cfg_scale, ms
             )
             body = make_stepper(cfg_key.sampler_name, denoise_fn, key)
-            return run_steps(body, x, aux, indices, (sig_lo, sig_hi))
+            x, aux2, _ = run_steps(body, x, aux, indices, (sig_lo, sig_hi))
+            return x, aux2
 
         self._programs[key] = program
         return program
@@ -322,6 +413,7 @@ def txt2img(
     hires_steps: int = 10,
     hires_denoise: float = 0.45,
     hires_cfg: float = 8.0,
+    deepcache_interval: int = 0,
 ) -> np.ndarray:
     """Full txt2img (ref GUI flow :10483 / headless pipeline :10001):
     encode → sample → [hires: bislerp ×2 + second pass] → decode.
@@ -332,6 +424,7 @@ def txt2img(
     latent = pipe.sample_latent(
         latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
         sampler_name=sampler_name, scheduler=scheduler,
+        deepcache_interval=deepcache_interval,
     )
     if hires_fix:
         latent = pipe.upscale_latent(latent, width * 2, height * 2, "bislerp")
