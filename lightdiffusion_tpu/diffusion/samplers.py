@@ -401,6 +401,26 @@ def _euler_body(denoise_fn, key, eta, s_noise, ancestral):
     return body
 
 
+def _dpmpp_2m_body(denoise_fn):
+    def body(carry, args):
+        x, old_denoised, h_last, state = carry
+        i, sigma, sigma_next = args
+        denoised, state = denoise_fn(x, sigma, i, state)
+        t = -jnp.log(sigma)
+        t_next = -jnp.log(jnp.maximum(sigma_next, 1e-10))
+        h = t_next - t
+        ratio = jnp.maximum(sigma_next, 1e-10) / sigma
+        x_1 = ratio * x - jnp.expm1(-h) * denoised
+        r = h_last / h
+        denoised_d = (1 + 1 / (2 * r)) * denoised - (1 / (2 * r)) * old_denoised
+        x_2 = ratio * x - jnp.expm1(-h) * denoised_d
+        use_2nd = (i > 0) & (sigma_next > 0)
+        x = jnp.where(sigma_next == 0, denoised, jnp.where(use_2nd, x_2, x_1))
+        return (x, denoised, h, state), None
+
+    return body
+
+
 def _dpmpp_2m_sde_body(denoise_fn, key, eta, s_noise):
     def body(carry, args):
         x, old_denoised, h_last, state = carry
@@ -442,6 +462,8 @@ def make_stepper(name: str, denoise_fn, key, eta=1.0, s_noise=1.0,
         return _euler_body(fn, key, eta, s_noise, ancestral=True)
     if name == "dpmpp_2m_sde":
         return _dpmpp_2m_sde_body(fn, key, eta, s_noise)
+    if name == "dpmpp_2m":
+        return _dpmpp_2m_body(fn)
     return None
 
 

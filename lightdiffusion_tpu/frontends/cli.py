@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--hires-denoise", type=float, default=0.45)
     t.add_argument("--adetailer", action="store_true",
                    help="face/person detail passes (needs YOLO/SAM weights)")
+    t.add_argument("--deepcache", type=int, default=0, metavar="N",
+                   help="refresh deep UNet blocks every N steps (faster, "
+                        "slight quality trade; 0 = off)")
 
     i = sub.add_parser("img2img", help="image → upscaled/refined image (USDU)")
     common(i)
@@ -111,6 +114,7 @@ def main(argv=None):
             scheduler=args.scheduler, batch=args.batch,
             hires_fix=args.hires_fix, hires_steps=args.hires_steps,
             hires_denoise=args.hires_denoise,
+            deepcache_interval=args.deepcache,
         )
         if args.adetailer:
             from ..pipelines.adetailer import adetailer

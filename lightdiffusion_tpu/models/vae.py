@@ -142,6 +142,22 @@ class VAE:
         z = sample_diagonal_gaussian(moments.astype(jnp.float32), key)
         return z * self.cfg.scale_factor
 
+    def decode_safe(self, latent, tile: int = 64, overlap: int = 8):
+        """decode with an automatic tiled fallback on device OOM — the
+        recovery path the reference attempts but crashes on (its
+        ``vae.decode_tiled`` at :9338 does not exist; SURVEY §5.3)."""
+        try:
+            return self.decode(latent)
+        except Exception as e:  # jaxlib raises XlaRuntimeError on RESOURCE_EXHAUSTED
+            if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in str(e).lower():
+                raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "VAE decode OOM; falling back to tiled decode (%s)", e
+            )
+            return self.decode_tiled(latent, tile=tile, overlap=overlap)
+
     def decode_tiled(self, latent, tile: int = 64, overlap: int = 8):
         """Tiled decode for latents too large for one program — the OOM
         fallback the reference CALLS but never defines (``vae.decode_tiled``

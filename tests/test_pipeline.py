@@ -145,3 +145,18 @@ def test_chunked_sde_sampler_carry(pipe):
     np.testing.assert_allclose(
         np.asarray(full), np.asarray(chunked), atol=1e-5, rtol=1e-5
     )
+
+
+def test_chunked_dpmpp_2m_matches_monolithic(pipe):
+    latent = pipe.empty_latent(32, 32)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    full = pipe.sample_latent(
+        latent, pos, neg, seed=7, steps=6, sampler_name="dpmpp_2m",
+    )
+    chunked = pipe.sample_latent_chunked(
+        latent, pos, neg, seed=7, steps=6, sampler_name="dpmpp_2m",
+        chunk_size=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), atol=1e-5, rtol=1e-5
+    )
