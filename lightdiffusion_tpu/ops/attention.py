@@ -169,6 +169,28 @@ def flash_attention(q, k, v, scale=None, block_q: int = 1024, block_k: int = 102
     return out
 
 
+# --------------------------------------------------- differentiable wrap ----
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_diff(q, k, v, scale):
+    return flash_attention(q, k, v, scale=scale)
+
+
+def _flash_diff_fwd(q, k, v, scale):
+    return flash_attention(q, k, v, scale=scale), (q, k, v)
+
+
+def _flash_diff_bwd(scale, res, g):
+    # backward recomputes through the (memory-heavier) XLA formulation —
+    # exact gradients; the Pallas kernel stays forward-only. Training at SD
+    # sizes fits comfortably; a fused backward kernel is future work.
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: attention_xla(q, k, v, scale=scale), q, k, v)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 # ------------------------------------------------------------- dispatch -----
 def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
@@ -189,7 +211,8 @@ def attention(q, k, v, scale=None, force: str | None = None):
         else (_on_tpu() and sq >= 2048 and sq % 256 == 0 and t % 256 == 0)
     )
     if use_flash:
-        return flash_attention(q, k, v, scale=scale)
+        scale_val = float(scale) if scale is not None else 1.0 / math.sqrt(q.shape[-1])
+        return _flash_diff(q, k, v, scale_val)
     return attention_xla(q, k, v, scale=scale)
 
 

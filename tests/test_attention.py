@@ -72,3 +72,27 @@ def test_softmax_fp32_with_bf16_inputs():
     q = jnp.full((1, 1, 8, 16), 30.0, jnp.bfloat16)
     out = A.attention_xla(q, q, q)
     assert jnp.all(jnp.isfinite(out.astype(jnp.float32)))
+
+
+def test_flash_dispatch_grad_matches_xla(monkeypatch):
+    """Gradients through the dispatcher's flash path equal XLA gradients
+    (custom VJP recomputes via XLA)."""
+    import functools
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    monkeypatch.setattr(A, "_on_tpu", lambda: True)
+
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(kk, (1, 2, 2048, 32)) for kk in jax.random.split(key, 3))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(A.attention(q, k, v) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(A.attention_xla(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
