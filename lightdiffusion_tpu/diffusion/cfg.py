@@ -17,7 +17,6 @@ repeat-padded to a common length (the reference's lcm trick).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax.numpy as jnp
 

@@ -20,7 +20,6 @@ via ``io_callback`` when given (TAESD previews / progress, §2.4).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

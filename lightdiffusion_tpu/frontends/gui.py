@@ -94,7 +94,6 @@ class GenerationController:
         random_init: bool = False,
     ) -> np.ndarray | None:
         from ..models.taesd import latent_to_rgb_preview
-        from ..pipelines.sd import txt2img
 
         self.interrupt_flag = False  # the reference forgets this (:10794)
         pipe = self.prep(self.current_checkpoint, self.current_lora,

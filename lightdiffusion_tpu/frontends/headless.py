@@ -12,7 +12,6 @@ from __future__ import annotations
 import logging
 
 import numpy as np
-import jax
 
 from .. import assets
 from ..loader import checkpoint as CKPT

@@ -14,8 +14,6 @@ import json
 import logging
 from pathlib import Path
 
-import numpy as np
-import jax
 
 log = logging.getLogger(__name__)
 

@@ -47,7 +47,6 @@ def load_any_torch_checkpoint(path: str | Path) -> dict:
     except Exception:
         pass
 
-    import torch.serialization as ser
 
     class StubUnpickler(pickle.Unpickler):
         def find_class(self, module, name):

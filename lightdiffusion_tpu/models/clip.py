@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import layers as L
-from ..ops.attention import attention_heads_last
 from ..text.tokenizer import SDTokenizer, TokenizedChunks
 
 

@@ -24,7 +24,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import layers as L
 from ..ops.attention import attention_heads_last

@@ -19,7 +19,6 @@ from __future__ import annotations
 from pathlib import Path
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from . import assets

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from functools import partial
 
 import numpy as np
 import jax

@@ -11,7 +11,6 @@ Host-side numpy implementations (masks are small; no cv2/torchvision deps).
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 

@@ -13,7 +13,6 @@ host numpy (cheap, bandwidth-bound).
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import jax.numpy as jnp
