@@ -48,11 +48,14 @@ def make_cfg_denoiser(
     uncond: jnp.ndarray,  # (B, Lu, C)
     cfg_scale: float,
     model_sampling: DiscreteSampling,
+    y_cond: jnp.ndarray | None = None,  # (B, adm) SDXL vector conditioning
+    y_uncond: jnp.ndarray | None = None,
 ):
     """Returns denoise_fn(x, sigma) → x0 prediction with CFG applied.
 
     x: (B, H, W, 4); sigma: scalar or (B,). One UNet call with batch 2·B:
     [cond ‖ uncond] (ref calc_cond_batch fast path + cfg_function).
+    ``y_cond``/``y_uncond``: SDXL ADM vectors, forwarded as unet y.
     """
     target = common_context_length(cond.shape[1], uncond.shape[1])
     cond_p = pad_context_to(cond, target)
@@ -74,7 +77,17 @@ def make_cfg_denoiser(
         t = model_sampling.timestep(sigma_b)
         x2 = jnp.concatenate([x_in, x_in], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
-        eps2 = unet_apply(params, x2, t2, context)
+        if y_cond is not None:
+            y2 = jnp.concatenate(
+                [
+                    jnp.broadcast_to(y_cond, (b,) + y_cond.shape[1:]),
+                    jnp.broadcast_to(y_uncond, (b,) + y_uncond.shape[1:]),
+                ],
+                axis=0,
+            )
+            eps2 = unet_apply(params, x2, t2, context, y2)
+        else:
+            eps2 = unet_apply(params, x2, t2, context)
         den2_in = jnp.concatenate([x, x], axis=0)
         den2 = model_sampling.calculate_denoised(
             jnp.concatenate([sigma_b, sigma_b]), eps2.astype(jnp.float32), den2_in

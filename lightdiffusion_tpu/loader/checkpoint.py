@@ -88,6 +88,9 @@ class StableDiffusion:
     # re-reading the file; None for random-init models
     flat_sd: dict | None = dataclasses.field(default=None, repr=False)
     dtypes: tuple = (jnp.bfloat16, jnp.float32, jnp.float32)  # unet/clip/vae
+    # SDXL second text tower (OpenCLIP bigG); None for SD1/SD2
+    clip2_params: dict | None = None
+    clip2_config: ClipConfig | None = None
 
     def param_count(self) -> int:
         return sum(
@@ -131,12 +134,26 @@ def load_checkpoint(
 
 
 def _convert_all(sd, unet_config, unet_dtype, clip_dtype, vae_dtype, pred):
-    # text-encoder family detection: SD2.x stores an OpenCLIP tower under
-    # cond_stage_model.model.* (beyond the reference's SD1.5-only registry)
-    if any(k.startswith("cond_stage_model.model.") for k in sd):
-        from ..models.clip import SD2_CLIP
-        from .clip_weights import convert_open_clip_text_model
+    # text-encoder family detection (beyond the reference's SD1.5-only
+    # registry at :6015): SD2.x = OpenCLIP under cond_stage_model.model.*;
+    # SDXL = dual towers under conditioner.embedders.{0,1}.*
+    from ..models.clip import SD2_CLIP, SDXL_CLIP_G
+    from .clip_weights import convert_open_clip_text_model
 
+    clip2_params = clip2_config = None
+    vae_config = SD15_VAE
+    if any(k.startswith("conditioner.embedders.0.") for k in sd):
+        clip_params = convert_clip_text_model(
+            sd, prefix="conditioner.embedders.0.transformer.text_model.",
+            dtype=clip_dtype,
+        )
+        clip_config = SD1_CLIP
+        clip2_params = convert_open_clip_text_model(
+            sd, prefix="conditioner.embedders.1.model.", dtype=clip_dtype
+        )
+        clip2_config = SDXL_CLIP_G
+        vae_config = dataclasses.replace(SD15_VAE, scale_factor=0.13025)
+    elif any(k.startswith("cond_stage_model.model.") for k in sd):
         clip_params = convert_open_clip_text_model(sd, dtype=clip_dtype)
         clip_config = SD2_CLIP
     else:
@@ -148,10 +165,12 @@ def _convert_all(sd, unet_config, unet_dtype, clip_dtype, vae_dtype, pred):
         clip_params=clip_params,
         clip_config=clip_config,
         vae_params=convert_vae(sd, SD15_VAE, dtype=vae_dtype),
-        vae_config=SD15_VAE,
+        vae_config=vae_config,
         model_sampling=make_discrete_sampling(pred),
         flat_sd=sd,
         dtypes=(unet_dtype, clip_dtype, vae_dtype),
+        clip2_params=clip2_params,
+        clip2_config=clip2_config,
     )
 
 

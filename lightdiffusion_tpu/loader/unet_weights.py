@@ -131,19 +131,23 @@ def convert_unet(
             p["up"] = {"conv": _conv(sd, f"{pfx}.{mod}.conv", dtype)}
         output_blocks.append(p)
 
-    return {
+    out = {
         "time_fc1": _lin(sd, "time_embed.0", dtype),
         "time_fc2": _lin(sd, "time_embed.2", dtype),
         "input_blocks": tuple(input_blocks),
         "middle": {
             "res1": _res(sd, "middle_block.0", dtype),
-            "attn": _transformer(sd, "middle_block.1", 1, dtype),
+            "attn": _transformer(sd, "middle_block.1", cfg.middle_depth, dtype),
             "res2": _res(sd, "middle_block.2", dtype),
         },
         "output_blocks": tuple(output_blocks),
         "out_norm": _norm(sd, "out.0", dtype),
         "out_conv": _conv(sd, "out.2", dtype),
     }
+    if "label_emb.0.0.weight" in sd:
+        out["label_fc1"] = _lin(sd, "label_emb.0.0", dtype)
+        out["label_fc2"] = _lin(sd, "label_emb.0.2", dtype)
+    return out
 
 
 # ---------------------------------------------------------------- detect ----
@@ -203,6 +207,14 @@ def detect_unet_config(sd: dict, prefix: str = "model.diffusion_model.") -> UNet
             break
     context_dim = context_dim or 768
     head_channels = 64 if (use_linear or context_dim >= 1024) else -1
+    mid_depth = 0
+    while prefix + (
+        f"middle_block.1.transformer_blocks.{mid_depth}.attn1.to_q.weight"
+    ) in sd:
+        mid_depth += 1
+    adm = 0
+    if prefix + "label_emb.0.0.weight" in sd:
+        adm = shape("label_emb.0.0.weight")[1]
     return UNetConfig(
         in_channels=in_channels,
         out_channels=out_channels,
@@ -214,4 +226,6 @@ def detect_unet_config(sd: dict, prefix: str = "model.diffusion_model.") -> UNet
         num_heads=8,
         num_head_channels=head_channels,
         use_linear_projections=use_linear,
+        middle_depth=max(mid_depth, 1),
+        adm_in_channels=adm,
     )

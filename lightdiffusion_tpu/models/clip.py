@@ -48,6 +48,11 @@ SD2_CLIP = ClipConfig(
     hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096,
     hidden_act="gelu", pad_with_end=False,
 )
+# SDXL towers: CLIP-L (same arch as SD1) + OpenCLIP bigG
+SDXL_CLIP_G = ClipConfig(
+    hidden_size=1280, num_layers=32, num_heads=20, intermediate_size=5120,
+    hidden_act="gelu", pad_with_end=False,
+)
 
 
 def _act(name: str):
@@ -92,7 +97,9 @@ def causal_mask(t: int, dtype=jnp.float32):
     return m[None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "policy", "layer_idx"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "policy", "layer_idx", "norm_hidden")
+)
 def clip_encode_embeds(
     params,
     input_embeds: jnp.ndarray,  # (B, T, C) — token+TI embeddings, no positions
@@ -100,12 +107,14 @@ def clip_encode_embeds(
     cfg: ClipConfig = SD1_CLIP,
     policy: L.Policy = L.FP32,
     layer_idx: int = -1,
+    norm_hidden: bool = True,
 ):
     """Run the encoder. Returns (hidden, pooled).
 
     ``layer_idx``: which layer's output to return as ``hidden`` (clip-skip);
-    -1 = last. The selected hidden state passes through the final LayerNorm
-    (SD1 behavior). ``pooled`` always comes from the *last* layer.
+    -1 = last. ``norm_hidden``: pass the tapped hidden state through the
+    final LayerNorm (SD1/SD2 behavior; SDXL towers skip it).
+    ``pooled`` always comes from the *last* layer.
     """
     b, t, c = input_embeds.shape
     x = input_embeds.astype(policy.compute_dtype)
@@ -120,7 +129,8 @@ def clip_encode_embeds(
 
     idx = layer_idx % cfg.num_layers
     hidden = hiddens[idx]
-    hidden = L.layer_norm(params["final_ln"], hidden, policy=policy)
+    if norm_hidden:
+        hidden = L.layer_norm(params["final_ln"], hidden, policy=policy)
 
     last = L.layer_norm(params["final_ln"], hiddens[-1], policy=policy)
     eot = jnp.argmax(input_ids, axis=-1)  # EOT has the max token id
@@ -165,6 +175,7 @@ class ClipTextEncoder:
         tokenizer: SDTokenizer | None = None,
         policy: L.Policy = L.FP32,
         clip_skip: int = -1,  # -1 last layer, -2 penultimate, ...
+        norm_hidden: bool = True,
     ):
         self.params = params
         self.cfg = cfg
@@ -173,6 +184,7 @@ class ClipTextEncoder:
         )
         self.policy = policy
         self.clip_skip = clip_skip
+        self.norm_hidden = norm_hidden
         self._token_table = np.asarray(params["token_embedding"], np.float32)
 
     def clip_layer(self, clip_skip: int):
@@ -199,6 +211,7 @@ class ClipTextEncoder:
             cfg=self.cfg,
             policy=self.policy,
             layer_idx=layer_idx,
+            norm_hidden=self.norm_hidden,
         )
         hidden = np.asarray(hidden.astype(jnp.float32))
         z_w, z_empty = hidden[:-1], hidden[-1:]
@@ -212,6 +225,66 @@ class ClipTextEncoder:
         """txt → (cond (1, 77·n, C), pooled (1, C)) — ref CLIPTextEncode :6573."""
         chunks = self.tokenizer.tokenize_with_weights(text)
         return self.encode_token_weights(chunks)
+
+
+# ----------------------------------------------------------------- SDXL -----
+class SDXLTextEncoder:
+    """Dual-tower SDXL conditioning (beyond the reference's SD1.5-only
+    support): CLIP-L + OpenCLIP bigG, both tapped at the penultimate layer
+    WITHOUT the final LayerNorm; cond = concat(l, g) along features (2048),
+    pooled from bigG's projected EOT (1280)."""
+
+    def __init__(self, params_l, params_g, cfg_l: ClipConfig = SD1_CLIP,
+                 cfg_g: ClipConfig = SDXL_CLIP_G, clip_skip: int = -2):
+        self.clip_l = ClipTextEncoder(
+            params_l, cfg_l, policy=L.FP32, clip_skip=clip_skip,
+            norm_hidden=False,
+        )
+        self.clip_g = ClipTextEncoder(
+            params_g, dataclasses.replace(cfg_g, pad_with_end=False),
+            policy=L.FP32, clip_skip=clip_skip, norm_hidden=False,
+        )
+        self.clip_skip = clip_skip
+        self.tokenizer = self.clip_l.tokenizer
+
+    def clip_layer(self, clip_skip: int):
+        self.clip_skip = clip_skip
+        self.clip_l.clip_layer(clip_skip)
+        self.clip_g.clip_layer(clip_skip)
+
+    def encode(self, text: str):
+        """→ (cond (1, 77·n, 2048), pooled (1, 1280))."""
+        cond_l, _ = self.clip_l.encode(text)
+        cond_g, pooled_g = self.clip_g.encode(text)
+        n = min(cond_l.shape[1], cond_g.shape[1])
+        cond = jnp.concatenate([cond_l[:, :n], cond_g[:, :n]], axis=-1)
+        return cond, pooled_g
+
+
+def sdxl_vector_conditioning(
+    pooled: jnp.ndarray,  # (B, 1280)
+    width: int,
+    height: int,
+    crop_w: int = 0,
+    crop_h: int = 0,
+    target_width: int | None = None,
+    target_height: int | None = None,
+) -> jnp.ndarray:
+    """SDXL ADM vector y (B, 2816): pooled text + fourier size embeddings
+    of (orig_h, orig_w, crop_top, crop_left, target_h, target_w)."""
+    from ..ops.layers import timestep_embedding
+
+    vals = [
+        height, width, crop_h, crop_w,
+        target_height or height, target_width or width,
+    ]
+    embs = [
+        timestep_embedding(jnp.asarray([float(v)]), 256) for v in vals
+    ]
+    size_emb = jnp.concatenate(embs, axis=-1)  # (1, 1536)
+    b = pooled.shape[0]
+    size_emb = jnp.broadcast_to(size_emb, (b, size_emb.shape[1]))
+    return jnp.concatenate([pooled.astype(jnp.float32), size_emb], axis=-1)
 
 
 # ------------------------------------------------------------------ init ----

@@ -41,6 +41,8 @@ class UNetConfig:
     num_heads: int = 8
     num_head_channels: int = -1  # SD2: 64 → heads = C // 64 per level
     use_linear_projections: bool = False  # SD2: linear proj_in/out
+    middle_depth: int = 1  # SDXL: 10
+    adm_in_channels: int = 0  # SDXL: 2816 (pooled text + size embeddings)
     dropout: float = 0.0
     attn_force: str | None = None  # attention backend override for tests
 
@@ -55,9 +57,19 @@ class UNetConfig:
 
 
 SD15_UNET = UNetConfig()
-# SD2.x (beyond the reference, which registers only sm_SD15 at :6015)
+# SD2.x / SDXL (beyond the reference, which registers only sm_SD15 at :6015)
 SD21_UNET = UNetConfig(
     context_dim=1024, num_head_channels=64, use_linear_projections=True
+)
+SDXL_UNET = UNetConfig(
+    channel_mult=(1, 2, 4),
+    num_res_blocks=(2, 2, 2),
+    transformer_depth=(0, 2, 10),
+    middle_depth=10,
+    context_dim=2048,
+    num_head_channels=64,
+    use_linear_projections=True,
+    adm_in_channels=2816,
 )
 
 
@@ -202,21 +214,31 @@ def _block_apply(spec: BlockSpec, p, h, emb, context, cfg, policy):
     return h
 
 
+def _time_label_emb(params, timesteps, y, cfg, policy):
+    """Time embedding MLP (+ SDXL ADM label embedding when y is given)."""
+    t_emb = L.timestep_embedding(timesteps, cfg.model_channels)
+    emb = L.linear(params["time_fc1"], t_emb.astype(policy.compute_dtype), policy)
+    emb = L.linear(params["time_fc2"], L.silu(emb), policy)
+    if cfg.adm_in_channels and y is not None:
+        lab = L.linear(params["label_fc1"], y.astype(policy.compute_dtype), policy)
+        lab = L.linear(params["label_fc2"], L.silu(lab), policy)
+        emb = emb + lab
+    return emb
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "policy"))
 def apply_unet(
     params,
     x: jnp.ndarray,  # (B, H, W, C_in) NHWC latent
     timesteps: jnp.ndarray,  # (B,) float32
     context: jnp.ndarray,  # (B, T, ctx_dim)
+    y: jnp.ndarray | None = None,  # (B, adm_in) SDXL vector conditioning
     cfg: UNetConfig = SD15_UNET,
     policy: L.Policy = L.DEFAULT_POLICY,
 ):
     """UNet forward (ref :5688-5767): eps prediction in x's dtype."""
     input_plan, output_plan = build_plan(cfg)
-
-    t_emb = L.timestep_embedding(timesteps, cfg.model_channels)
-    emb = L.linear(params["time_fc1"], t_emb.astype(policy.compute_dtype), policy)
-    emb = L.linear(params["time_fc2"], L.silu(emb), policy)
+    emb = _time_label_emb(params, timesteps, y, cfg, policy)
 
     h = x.astype(policy.compute_dtype)
     context = context.astype(policy.compute_dtype)
@@ -286,6 +308,7 @@ def apply_unet_cached(
     context: jnp.ndarray,
     cache: jnp.ndarray,
     refresh: jnp.ndarray,  # scalar bool: recompute the deep blocks?
+    y: jnp.ndarray | None = None,
     cfg: UNetConfig = SD15_UNET,
     policy: L.Policy = L.DEFAULT_POLICY,
     cache_level: int = 1,
@@ -299,10 +322,7 @@ def apply_unet_cached(
 
     Returns (eps, new_cache)."""
     input_plan, output_plan, n_si, n_do = _split_plans(cfg, cache_level)
-
-    t_emb = L.timestep_embedding(timesteps, cfg.model_channels)
-    emb = L.linear(params["time_fc1"], t_emb.astype(policy.compute_dtype), policy)
-    emb = L.linear(params["time_fc2"], L.silu(emb), policy)
+    emb = _time_label_emb(params, timesteps, y, cfg, policy)
 
     h = x.astype(policy.compute_dtype)
     context = context.astype(policy.compute_dtype)
@@ -444,14 +464,14 @@ def init_unet_params(key, cfg: UNetConfig = SD15_UNET, dtype=jnp.float32):
 
     mk = jax.random.split(next(keys), 3)
     mid_ch = cfg.model_channels * cfg.channel_mult[-1]
-    return {
+    out = {
         "time_fc1": L.init_linear(next(keys), cfg.model_channels, emb_dim, dtype=dtype),
         "time_fc2": L.init_linear(next(keys), emb_dim, emb_dim, dtype=dtype),
         "input_blocks": tuple(init_block(s, False) for s in input_plan),
         "middle": {
             "res1": _init_res(mk[0], mid_ch, mid_ch, emb_dim, dtype),
             "attn": _init_transformer(
-                mk[1], mid_ch, cfg.context_dim, 1, dtype,
+                mk[1], mid_ch, cfg.context_dim, cfg.middle_depth, dtype,
                 cfg.use_linear_projections,
             ),
             "res2": _init_res(mk[2], mid_ch, mid_ch, emb_dim, dtype),
@@ -462,3 +482,9 @@ def init_unet_params(key, cfg: UNetConfig = SD15_UNET, dtype=jnp.float32):
             next(keys), 3, 3, cfg.model_channels, cfg.out_channels, dtype=dtype
         ),
     }
+    if cfg.adm_in_channels:
+        out["label_fc1"] = L.init_linear(
+            next(keys), cfg.adm_in_channels, emb_dim, dtype=dtype
+        )
+        out["label_fc2"] = L.init_linear(next(keys), emb_dim, emb_dim, dtype=dtype)
+    return out

@@ -95,12 +95,19 @@ class LatentUpscale:
         return ({"samples": s},)
 
 
+def _unpack_cond(c):
+    """Node conditioning [[cond, {"pooled_output": p}]] → (cond, pooled)."""
+    if isinstance(c, list):
+        return (c[0][0], c[0][1].get("pooled_output"))
+    return c
+
+
 def common_ksampler(model: SDPipeline, seed, steps, cfg, sampler_name,
                     scheduler, positive, negative, latent, denoise=1.0,
                     disable_noise=False):
     """(ref :6657)"""
-    cond = positive[0][0] if isinstance(positive, list) else positive
-    uncond = negative[0][0] if isinstance(negative, list) else negative
+    cond = _unpack_cond(positive)
+    uncond = _unpack_cond(negative)
     out = model.sample_latent(
         latent["samples"], cond, uncond, seed=seed, steps=steps, cfg=cfg,
         sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,
@@ -128,8 +135,8 @@ class KSamplerAdvanced:
                scheduler, positive, negative, latent_image,
                start_at_step=0, end_at_step=10000,
                return_with_leftover_noise="disable"):
-        cond = positive[0][0] if isinstance(positive, list) else positive
-        uncond = negative[0][0] if isinstance(negative, list) else negative
+        cond = _unpack_cond(positive)
+        uncond = _unpack_cond(negative)
         out = model.sample_latent(
             latent_image["samples"], cond, uncond, seed=noise_seed,
             steps=steps, cfg=cfg, sampler_name=sampler_name,

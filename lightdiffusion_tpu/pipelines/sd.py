@@ -43,6 +43,7 @@ class SampleConfig:
     masked: bool = False
     differential_diffusion: bool = False
     deepcache: int = 0  # >1: refresh deep UNet blocks every N steps
+    has_y: bool = False  # SDXL ADM vector conditioning
 
 
 class SDPipeline:
@@ -67,9 +68,18 @@ class SDPipeline:
             from ..parallel import mesh as M
 
             sd.unet_params = M.shard_params(sd.unet_params, mesh)
-        self.clip = ClipTextEncoder(
-            sd.clip_params, sd.clip_config, policy=L.FP32, clip_skip=clip_skip
-        )
+        if sd.clip2_params is not None:
+            from ..models.clip import SDXLTextEncoder
+
+            self.clip = SDXLTextEncoder(
+                sd.clip_params, sd.clip2_params, sd.clip_config,
+                sd.clip2_config, clip_skip=clip_skip,
+            )
+        else:
+            self.clip = ClipTextEncoder(
+                sd.clip_params, sd.clip_config, policy=L.FP32,
+                clip_skip=clip_skip,
+            )
         self.vae = V.VAE(sd.vae_params, sd.vae_config, policy=vae_policy)
         self._programs: dict = {}
         self._cond_cache: dict = {}
@@ -118,11 +128,17 @@ class SDPipeline:
             self._programs[key] = program
             return program
 
+        def unet_apply_y(params, x, t, ctx, y):
+            return U.apply_unet(params, x, t, ctx, y=y, cfg=unet_cfg,
+                                policy=policy)
+
         @jax.jit
         def program(unet_params, noise, latent, cond, uncond, cfg_scale, key,
-                    mask=None):
+                    mask=None, y_cond=None, y_uncond=None):
             denoise_fn = make_cfg_denoiser(
-                unet_apply, unet_params, cond, uncond, cfg_scale, ms
+                unet_apply_y if cfg_key.has_y else unet_apply,
+                unet_params, cond, uncond, cfg_scale, ms,
+                y_cond=y_cond, y_uncond=y_uncond,
             )
             if cfg_key.masked:
                 from ..diffusion.inpaint import (
@@ -170,9 +186,24 @@ class SDPipeline:
         :6657): seeded noise + full jit'd sampling program. ``noise_mask``
         (B,h,w,1): inpaint-style masked denoise (ref :2629/:9451).
         ``start_step``/``last_step``: sigma-window slicing (the Impact-pack
-        ``separated_sample`` semantics, ref :9113)."""
+        ``separated_sample`` semantics, ref :9113). For SDXL models the
+        pooled outputs carried in (cond, pooled) tuples become ADM vectors."""
         cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
         uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
+        y_cond = y_uncond = None
+        if self.sd.unet_config.adm_in_channels:
+            from ..models.clip import sdxl_vector_conditioning
+
+            r = self.sd.vae_config.downscale_ratio
+            w_px, h_px = latent.shape[2] * r, latent.shape[1] * r
+            pooled_c = positive[1] if not isinstance(positive, jnp.ndarray) else None
+            pooled_u = negative[1] if not isinstance(negative, jnp.ndarray) else None
+            if pooled_c is None or pooled_u is None:
+                raise ValueError(
+                    "SDXL models need (cond, pooled) conditioning tuples"
+                )
+            y_cond = sdxl_vector_conditioning(pooled_c, w_px, h_px)
+            y_uncond = sdxl_vector_conditioning(pooled_u, w_px, h_px)
         sigmas = SMP.sigmas_for(self.sd.model_sampling, scheduler, steps, denoise)
         if start_step is not None or last_step is not None:
             lo = start_step or 0
@@ -185,7 +216,12 @@ class SDPipeline:
             cond.shape[1], uncond.shape[1],
             masked=noise_mask is not None,
             differential_diffusion=differential_diffusion and noise_mask is not None,
-            deepcache=deepcache_interval if noise_mask is None else 0,
+            deepcache=(
+                deepcache_interval
+                if (noise_mask is None and y_cond is None)
+                else 0
+            ),
+            has_y=y_cond is not None,
         )
         program = self._sample_program(cfg_key, sigmas.tobytes())
         noise = (
@@ -199,12 +235,16 @@ class SDPipeline:
             self._shard_batch(uncond), jnp.float32(cfg),
             jax.random.PRNGKey(seed),
         ]
+        kwargs = {}
         if noise_mask is not None:
             mask = jnp.asarray(noise_mask, jnp.float32)
             if mask.ndim == 3:
                 mask = mask[..., None]
-            args.append(mask)
-        return program(*args)
+            kwargs["mask"] = mask
+        if y_cond is not None:
+            kwargs["y_cond"] = y_cond
+            kwargs["y_uncond"] = y_uncond
+        return program(*args, **kwargs)
 
     def _deepcache_program(self, cfg_key: SampleConfig, sigmas: np.ndarray):
         """Sampling program with DeepCache deep-block reuse (arXiv 2312.03209,
@@ -335,7 +375,11 @@ class SDPipeline:
         program for samplers without a fixed-step form."""
         from ..diffusion.samplers import make_stepper
 
-        if make_stepper(sampler_name, lambda x, s: x, jax.random.PRNGKey(0)) is None:
+        no_stepper = make_stepper(
+            sampler_name, lambda x, s: x, jax.random.PRNGKey(0)
+        ) is None
+        if no_stepper or self.sd.unet_config.adm_in_channels:
+            # adaptive samplers / SDXL ADM conditioning: monolithic program
             return self.sample_latent(
                 latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
                 sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,

@@ -95,25 +95,36 @@ class BasicTransformerBlock(nn.Module):
 
 
 class SpatialTransformer(nn.Module):
-    def __init__(self, ch, context_dim, heads, depth=1, groups=32):
+    def __init__(self, ch, context_dim, heads, depth=1, groups=32,
+                 use_linear=False):
         super().__init__()
         self.norm = nn.GroupNorm(groups, ch, eps=1e-6)
-        self.proj_in = nn.Conv2d(ch, ch, 1)
+        self.use_linear = use_linear
+        self.proj_in = nn.Linear(ch, ch) if use_linear else nn.Conv2d(ch, ch, 1)
         self.transformer_blocks = nn.ModuleList(
             [BasicTransformerBlock(ch, context_dim, heads) for _ in range(depth)]
         )
-        self.proj_out = nn.Conv2d(ch, ch, 1)
+        self.proj_out = nn.Linear(ch, ch) if use_linear else nn.Conv2d(ch, ch, 1)
 
     def forward(self, x, context):
         b, c, h, w = x.shape
         residual = x
         x = self.norm(x)
-        x = self.proj_in(x)
-        x = x.permute(0, 2, 3, 1).reshape(b, h * w, c)
+        if self.use_linear:
+            x = x.permute(0, 2, 3, 1).reshape(b, h * w, c)
+            x = self.proj_in(x)
+        else:
+            x = self.proj_in(x)
+            x = x.permute(0, 2, 3, 1).reshape(b, h * w, c)
         for blk in self.transformer_blocks:
             x = blk(x, context)
-        x = x.reshape(b, h, w, c).permute(0, 3, 1, 2)
-        return self.proj_out(x) + residual
+        if self.use_linear:
+            x = self.proj_out(x)
+            x = x.reshape(b, h, w, c).permute(0, 3, 1, 2)
+        else:
+            x = x.reshape(b, h, w, c).permute(0, 3, 1, 2)
+            x = self.proj_out(x)
+        return x + residual
 
 
 class Downsample(nn.Module):
@@ -149,6 +160,10 @@ class MiniLDMUNet(nn.Module):
         context_dim=64,
         heads=2,
         groups=32,
+        mid_depth=1,
+        adm_ch=0,
+        use_linear=False,
+        head_ch=None,
     ):
         super().__init__()
         emb = model_ch * 4
@@ -156,17 +171,23 @@ class MiniLDMUNet(nn.Module):
         self.time_embed = nn.Sequential(
             nn.Linear(model_ch, emb), nn.SiLU(), nn.Linear(emb, emb)
         )
+        if adm_ch:
+            self.label_emb = nn.Sequential(
+                nn.Sequential(nn.Linear(adm_ch, emb), nn.SiLU(), nn.Linear(emb, emb))
+            )
+        self.adm_ch = adm_ch
         self.input_blocks = nn.ModuleList(
             [nn.Sequential(nn.Conv2d(in_ch, model_ch, 3, padding=1))]
         )
         ch = model_ch
         skips = [ch]
+        nheads = lambda oc: (oc // head_ch) if head_ch else heads
         for level, mult in enumerate(channel_mult):
             oc = model_ch * mult
             for _ in range(num_res[level]):
                 mods = [ResBlock(ch, oc, emb, groups)]
                 if depths[level] > 0:
-                    mods.append(SpatialTransformer(oc, context_dim, heads, depths[level], groups))
+                    mods.append(SpatialTransformer(oc, context_dim, nheads(oc), depths[level], groups, use_linear))
                 self.input_blocks.append(nn.Sequential(*mods))
                 ch = oc
                 skips.append(ch)
@@ -175,7 +196,7 @@ class MiniLDMUNet(nn.Module):
                 skips.append(ch)
         self.middle_block = nn.Sequential(
             ResBlock(ch, ch, emb, groups),
-            SpatialTransformer(ch, context_dim, heads, 1, groups),
+            SpatialTransformer(ch, context_dim, nheads(ch), mid_depth, groups, use_linear),
             ResBlock(ch, ch, emb, groups),
         )
         self.output_blocks = nn.ModuleList()
@@ -185,7 +206,7 @@ class MiniLDMUNet(nn.Module):
                 sc = skips.pop()
                 mods = [ResBlock(ch + sc, oc, emb, groups)]
                 if depths[level] > 0:
-                    mods.append(SpatialTransformer(oc, context_dim, heads, depths[level], groups))
+                    mods.append(SpatialTransformer(oc, context_dim, nheads(oc), depths[level], groups, use_linear))
                 if level != 0 and i == num_res[level]:
                     mods.append(Upsample(oc))
                 self.output_blocks.append(nn.Sequential(*mods))
@@ -194,8 +215,10 @@ class MiniLDMUNet(nn.Module):
             nn.GroupNorm(groups, model_ch), nn.SiLU(), nn.Conv2d(model_ch, out_ch, 3, padding=1)
         )
 
-    def forward(self, x, timesteps, context):
+    def forward(self, x, timesteps, context, y=None):
         emb = self.time_embed(timestep_embedding(timesteps, self.model_ch))
+        if y is not None:
+            emb = emb + self.label_emb(y)
         h = x
         hs = []
         for block in self.input_blocks:
