@@ -222,11 +222,12 @@ class YoloDetector:
     labels[, masks]) in original-image pixel coords."""
 
     def __init__(self, params, cfg: YoloConfig, class_names=None,
-                 input_size: int = 640):
+                 input_size: int = 640, apply_fn=None):
         self.params = params
         self.cfg = cfg
         self.class_names = class_names or {}
         self.input_size = input_size
+        self.apply_fn = apply_fn or yolo_apply
 
     def __call__(self, image: np.ndarray, conf: float = 0.25,
                  iou: float = 0.45):
@@ -240,7 +241,7 @@ class YoloDetector:
         canvas = np.full((s, s, 3), 0.447, np.float32)  # letterbox gray
         canvas[:nh, :nw] = resized
 
-        out = yolo_apply(self.params, jnp.asarray(canvas[None]), self.cfg)
+        out = self.apply_fn(self.params, jnp.asarray(canvas[None]), self.cfg)
         boxes = decode_boxes(out, self.cfg.reg_max)[0]
         cls = np.asarray(jax.nn.sigmoid(out["cls"]))[0]
         scores = cls.max(-1)
@@ -279,6 +280,125 @@ class YoloDetector:
         boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
         labels = [self.class_names.get(int(i), str(int(i))) for i in labels_i]
         return boxes, scores, labels, masks
+
+
+# ----------------------------------------------------------- YOLOv9 ---------
+# GELAN backbone (yolov9c/e — the reference's default detail models,
+# hand_yolov9c/face_yolov9c, LightDiffusion.py:57-75): RepNCSPELAN4 blocks,
+# ADown downsampling, SPPELAN, same DFL detect head as v8. RepConvN branches
+# (3×3 + 1×1, each with BN) fuse into single 3×3 convs at load.
+
+def _avgpool2(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 1, 1, 1), "VALID"
+    ) / 4.0
+
+
+def _maxpool(x, k, stride, pad):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, stride, stride, 1),
+        [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+    )
+
+
+def _repncsp(p, x, policy):
+    """C3-style block of (fused) RepN bottlenecks."""
+    y1 = _conv(p["cv1"], x, policy=policy)
+    for m in p["m"]:
+        h = _conv(m["cv1"], y1, policy=policy)  # fused RepConvN → 3×3 conv
+        h = _conv(m["cv2"], h, policy=policy)
+        # residual iff channels preserved (static shapes decide at trace)
+        add = m["cv1"]["weight"].shape[2] == m["cv2"]["weight"].shape[3]
+        y1 = y1 + h if add else h
+    y2 = _conv(p["cv2"], x, policy=policy)
+    return _conv(p["cv3"], jnp.concatenate([y1, y2], axis=-1), policy=policy)
+
+
+def _repncspelan4(p, x, policy):
+    y = _conv(p["cv1"], x, policy=policy)
+    a, b = jnp.split(y, 2, axis=-1)
+    chunks = [a, b]
+    for branch in (p["cv2"], p["cv3"]):
+        h = _repncsp(branch["csp"], chunks[-1], policy)
+        h = _conv(branch["conv"], h, policy=policy)
+        chunks.append(h)
+    return _conv(p["cv4"], jnp.concatenate(chunks, axis=-1), policy=policy)
+
+
+def _adown(p, x, policy):
+    x = _avgpool2(x)
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    x1 = _conv(p["cv1"], x1, stride=2, policy=policy)
+    x2 = _maxpool(x2, 3, 2, 1)
+    x2 = _conv(p["cv2"], x2, policy=policy)
+    return jnp.concatenate([x1, x2], axis=-1)
+
+
+def _sppelan(p, x, policy):
+    y = [_conv(p["cv1"], x, policy=policy)]
+    for _ in range(3):
+        y.append(_maxpool(y[-1], 5, 1, 2))
+    return _conv(p["cv5"], jnp.concatenate(y, axis=-1), policy=policy)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "policy"))
+def yolov9_apply(params, x, cfg: YoloConfig, policy: L.Policy = L.FP32):
+    """yolov9-c GELAN forward. Same output contract as yolo_apply."""
+    x = x.astype(policy.compute_dtype)
+    h = _conv(params["0"], x, stride=2, policy=policy)
+    h = _conv(params["1"], h, stride=2, policy=policy)
+    h = _repncspelan4(params["2"], h, policy)
+    h = _adown(params["3"], h, policy)
+    p3 = _repncspelan4(params["4"], h, policy)
+    h = _adown(params["5"], p3, policy)
+    p4 = _repncspelan4(params["6"], h, policy)
+    h = _adown(params["7"], p4, policy)
+    h = _repncspelan4(params["8"], h, policy)
+    p5 = _sppelan(params["9"], h, policy)
+    # PAN head
+    u = jnp.concatenate([_up2(p5), p4], axis=-1)
+    n4 = _repncspelan4(params["12"], u, policy)
+    u = jnp.concatenate([_up2(n4), p3], axis=-1)
+    n3 = _repncspelan4(params["15"], u, policy)
+    d = _adown(params["16"], n3, policy)
+    n4 = _repncspelan4(params["18"], jnp.concatenate([d, n4], axis=-1), policy)
+    d = _adown(params["19"], n4, policy)
+    n5 = _repncspelan4(params["21"], jnp.concatenate([d, p5], axis=-1), policy)
+
+    head = params["head"]
+    boxes, cls, coeffs = [], [], []
+    anchors, strides = [], []
+    b = x.shape[0]
+    for i, (feat, stride) in enumerate(zip((n3, n4, n5), (8, 16, 32))):
+        box = _detect_branch(head["cv2"][i], feat, policy)
+        c = _detect_branch(head["cv3"][i], feat, policy)
+        fh, fw = feat.shape[1:3]
+        boxes.append(box.reshape(b, fh * fw, 4 * cfg.reg_max))
+        cls.append(c.reshape(b, fh * fw, cfg.nc))
+        ys, xs = jnp.meshgrid(
+            jnp.arange(fh, dtype=jnp.float32) + 0.5,
+            jnp.arange(fw, dtype=jnp.float32) + 0.5,
+            indexing="ij",
+        )
+        anchors.append(jnp.stack([xs.ravel(), ys.ravel()], axis=-1))
+        strides.append(jnp.full((fh * fw,), float(stride)))
+        if cfg.seg:
+            mc = _detect_branch(head["cv4"][i], feat, policy)
+            coeffs.append(mc.reshape(b, fh * fw, cfg.nm))
+    out = {
+        "boxes_raw": jnp.concatenate(boxes, axis=1).astype(jnp.float32),
+        "cls": jnp.concatenate(cls, axis=1).astype(jnp.float32),
+        "anchors": jnp.concatenate(anchors, axis=0),
+        "strides": jnp.concatenate(strides, axis=0),
+    }
+    if cfg.seg:
+        pr = _conv(head["proto"]["cv1"], n3, policy=policy)
+        pr = _conv_transpose2x2(head["proto"]["upsample"], pr)
+        pr = _conv(head["proto"]["cv2"], pr, policy=policy)
+        pr = _conv(head["proto"]["cv3"], pr, policy=policy)
+        out["protos"] = pr.astype(jnp.float32)
+        out["coeffs"] = jnp.concatenate(coeffs, axis=1).astype(jnp.float32)
+    return out
 
 
 # ----------------------------------------------------------- conversion -----
@@ -394,10 +514,129 @@ def convert_yolov8(sd: dict, dtype=jnp.float32):
     return params, cfg
 
 
+def _fuse_repconvn(sd, pfx, dtype):
+    """RepConvN (3×3 + 1×1 branches, each BN'd) → one fused 3×3 conv."""
+    w3, b3 = _fold_bn(
+        np.asarray(sd[f"{pfx}.conv1.conv.weight"], np.float32),
+        np.asarray(sd[f"{pfx}.conv1.bn.weight"], np.float32),
+        np.asarray(sd[f"{pfx}.conv1.bn.bias"], np.float32),
+        np.asarray(sd[f"{pfx}.conv1.bn.running_mean"], np.float32),
+        np.asarray(sd[f"{pfx}.conv1.bn.running_var"], np.float32),
+    )
+    w1, b1 = _fold_bn(
+        np.asarray(sd[f"{pfx}.conv2.conv.weight"], np.float32),
+        np.asarray(sd[f"{pfx}.conv2.bn.weight"], np.float32),
+        np.asarray(sd[f"{pfx}.conv2.bn.bias"], np.float32),
+        np.asarray(sd[f"{pfx}.conv2.bn.running_mean"], np.float32),
+        np.asarray(sd[f"{pfx}.conv2.bn.running_var"], np.float32),
+    )
+    # w are HWIO; pad the 1×1 into the center of a 3×3
+    w1_pad = np.zeros_like(w3)
+    w1_pad[1:2, 1:2] = w1
+    return {
+        "weight": jnp.asarray(w3 + w1_pad, dtype),
+        "bias": jnp.asarray(b3 + b1, dtype),
+    }
+
+
+def _repncsp_p(sd, pfx, dtype):
+    m = []
+    j = 0
+    while f"{pfx}.m.{j}.cv1.conv1.conv.weight" in sd:
+        m.append({
+            "cv1": _fuse_repconvn(sd, f"{pfx}.m.{j}.cv1", dtype),
+            "cv2": _conv_bn(sd, f"{pfx}.m.{j}.cv2", dtype),
+        })
+        j += 1
+    return {
+        "cv1": _conv_bn(sd, f"{pfx}.cv1", dtype),
+        "cv2": _conv_bn(sd, f"{pfx}.cv2", dtype),
+        "cv3": _conv_bn(sd, f"{pfx}.cv3", dtype),
+        "m": tuple(m),
+    }
+
+
+def _elan_p(sd, pfx, dtype):
+    return {
+        "cv1": _conv_bn(sd, f"{pfx}.cv1", dtype),
+        "cv2": {"csp": _repncsp_p(sd, f"{pfx}.cv2.0", dtype),
+                "conv": _conv_bn(sd, f"{pfx}.cv2.1", dtype)},
+        "cv3": {"csp": _repncsp_p(sd, f"{pfx}.cv3.0", dtype),
+                "conv": _conv_bn(sd, f"{pfx}.cv3.1", dtype)},
+        "cv4": _conv_bn(sd, f"{pfx}.cv4", dtype),
+    }
+
+
+def convert_yolov9(sd: dict, dtype=jnp.float32):
+    """ultralytics yolov9-c state dict → (params, YoloConfig)."""
+    while any(k.startswith("model.model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items()}
+    if any(k.startswith("model.0.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+
+    head_idx = max(int(k.split(".")[0]) for k in sd if k.split(".")[0].isdigit())
+    seg = f"{head_idx}.proto.cv1.conv.weight" in sd
+    nc = sd[f"{head_idx}.cv3.0.2.weight"].shape[0]
+    reg_max = sd[f"{head_idx}.cv2.0.2.weight"].shape[0] // 4
+    nm = sd[f"{head_idx}.cv4.0.2.weight"].shape[0] if seg else 32
+    cfg = YoloConfig(nc=nc, seg=seg, reg_max=reg_max, nm=nm)
+
+    params = {}
+    for i in ("0", "1"):
+        params[i] = _conv_bn(sd, i, dtype)
+    for i in ("2", "4", "6", "8", "12", "15", "18", "21"):
+        params[i] = _elan_p(sd, i, dtype)
+    for i in ("3", "5", "7", "16", "19"):
+        params[i] = {
+            "cv1": _conv_bn(sd, f"{i}.cv1", dtype),
+            "cv2": _conv_bn(sd, f"{i}.cv2", dtype),
+        }
+    params["9"] = {
+        "cv1": _conv_bn(sd, "9.cv1", dtype),
+        "cv5": _conv_bn(sd, "9.cv5", dtype),
+    }
+    head = {
+        "cv2": tuple(_branch_p(sd, f"{head_idx}.cv2.{i}", dtype) for i in range(3)),
+        "cv3": tuple(_branch_p(sd, f"{head_idx}.cv3.{i}", dtype) for i in range(3)),
+    }
+    if seg:
+        up_w = np.asarray(sd[f"{head_idx}.proto.upsample.weight"], np.float32)
+        head["cv4"] = tuple(
+            _branch_p(sd, f"{head_idx}.cv4.{i}", dtype) for i in range(3)
+        )
+        head["proto"] = {
+            "cv1": _conv_bn(sd, f"{head_idx}.proto.cv1", dtype),
+            "upsample": {
+                "weight": jnp.asarray(up_w.transpose(2, 3, 0, 1), dtype),
+                "bias": jnp.asarray(
+                    np.asarray(sd[f"{head_idx}.proto.upsample.bias"], np.float32),
+                    dtype,
+                ),
+            },
+            "cv2": _conv_bn(sd, f"{head_idx}.proto.cv2", dtype),
+            "cv3": _conv_bn(sd, f"{head_idx}.proto.cv3", dtype),
+        }
+    params["head"] = head
+    return params, cfg
+
+
+def is_yolov9_state_dict(sd: dict) -> bool:
+    return any(
+        k.endswith("2.cv2.0.m.0.cv1.conv1.conv.weight")
+        or k.endswith("2.cv2.0.cv1.conv.weight")
+        for k in sd
+    )
+
+
 def load_yolo(path, dtype=jnp.float32):
-    """(ref :8464) Load an ultralytics .pt without the ultralytics package."""
+    """(ref :8464) Load an ultralytics .pt without the ultralytics package.
+    Supports YOLOv8 (det/seg) and YOLOv9-c (GELAN) architectures — the
+    latter covers the reference's default hand/face_yolov9c models."""
     from ..loader.torch_pickle import load_any_torch_checkpoint
 
     sd = load_any_torch_checkpoint(path)
+    if is_yolov9_state_dict(sd):
+        params, cfg = convert_yolov9(sd, dtype)
+        return YoloDetector(params, cfg, apply_fn=yolov9_apply)
     params, cfg = convert_yolov8(sd, dtype)
     return YoloDetector(params, cfg)

@@ -919,3 +919,146 @@ class MiniOpenClipText(nn.Module):
         last = self.ln_final(x)
         pooled = last[torch.arange(x.shape[0]), ids.argmax(-1)] @ self.text_projection
         return out, pooled
+
+
+# ---------------------------------------------------------------- YOLOv9 ----
+class RepConvN(nn.Module):
+    """Training-form RepConv (3x3 + 1x1 branches, each BN'd, SiLU act)."""
+
+    def __init__(self, c1, c2, s=1):
+        super().__init__()
+        self.conv1 = nn.Module()
+        self.conv1.conv = nn.Conv2d(c1, c2, 3, s, 1, bias=False)
+        self.conv1.bn = nn.BatchNorm2d(c2, eps=1e-3, momentum=0.03)
+        self.conv2 = nn.Module()
+        self.conv2.conv = nn.Conv2d(c1, c2, 1, s, 0, bias=False)
+        self.conv2.bn = nn.BatchNorm2d(c2, eps=1e-3, momentum=0.03)
+        self.act = nn.SiLU()
+
+    def forward(self, x):
+        return self.act(self.conv1.bn(self.conv1.conv(x)) + self.conv2.bn(self.conv2.conv(x)))
+
+
+class RepNBottleneck(nn.Module):
+    def __init__(self, c1, c2, shortcut=True, e=0.5):
+        super().__init__()
+        c_ = int(c2 * e) if False else c2  # ultralytics uses e on cv1 width
+        self.cv1 = RepConvN(c1, c2)
+        self.cv2 = YConv(c2, c2, 3)
+        self.add = shortcut and c1 == c2
+
+    def forward(self, x):
+        y = self.cv2(self.cv1(x))
+        return x + y if self.add else y
+
+
+class RepNCSP(nn.Module):
+    def __init__(self, c1, c2, n=1, e=0.5):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = YConv(c1, c_, 1)
+        self.cv2 = YConv(c1, c_, 1)
+        self.cv3 = YConv(2 * c_, c2, 1)
+        self.m = nn.Sequential(*[RepNBottleneck(c_, c_) for _ in range(n)])
+
+    def forward(self, x):
+        return self.cv3(torch.cat((self.m(self.cv1(x)), self.cv2(x)), 1))
+
+
+class RepNCSPELAN4(nn.Module):
+    def __init__(self, c1, c2, c3, c4, n=1):
+        super().__init__()
+        self.c = c3 // 2
+        self.cv1 = YConv(c1, c3, 1)
+        self.cv2 = nn.Sequential(RepNCSP(c3 // 2, c4, n), YConv(c4, c4, 3))
+        self.cv3 = nn.Sequential(RepNCSP(c4, c4, n), YConv(c4, c4, 3))
+        self.cv4 = YConv(c3 + 2 * c4, c2, 1)
+
+    def forward(self, x):
+        y = list(self.cv1(x).chunk(2, 1))
+        y.extend(m(y[-1]) for m in (self.cv2, self.cv3))
+        return self.cv4(torch.cat(y, 1))
+
+
+class ADown(nn.Module):
+    def __init__(self, c1, c2):
+        super().__init__()
+        self.c = c2 // 2
+        self.cv1 = YConv(c1 // 2, self.c, 3, 2)
+        self.cv2 = YConv(c1 // 2, self.c, 1, 1)
+
+    def forward(self, x):
+        x = F.avg_pool2d(x, 2, 1, 0, False, True)
+        x1, x2 = x.chunk(2, 1)
+        x1 = self.cv1(x1)
+        x2 = F.max_pool2d(x2, 3, 2, 1)
+        x2 = self.cv2(x2)
+        return torch.cat((x1, x2), 1)
+
+
+class SPPELAN(nn.Module):
+    def __init__(self, c1, c2, c3):
+        super().__init__()
+        self.cv1 = YConv(c1, c3, 1)
+        self.m = nn.MaxPool2d(5, 1, 2)
+        self.cv5 = YConv(4 * c3, c2, 1)
+
+    def forward(self, x):
+        y = [self.cv1(x)]
+        for _ in range(3):
+            y.append(self.m(y[-1]))
+        return self.cv5(torch.cat(y, 1))
+
+
+class MiniYolo9(nn.Module):
+    """yolov9-c-shaped GELAN model, 'model.N.' keys, toy channel widths."""
+
+    def __init__(self, nc=2, c=16, reg_max=16):
+        super().__init__()
+        m = nn.ModuleDict()
+        m["0"] = YConv(3, c, 3, 2)
+        m["1"] = YConv(c, 2 * c, 3, 2)
+        m["2"] = RepNCSPELAN4(2 * c, 4 * c, 2 * c, c)
+        m["3"] = ADown(4 * c, 4 * c)
+        m["4"] = RepNCSPELAN4(4 * c, 8 * c, 4 * c, 2 * c)
+        m["5"] = ADown(8 * c, 8 * c)
+        m["6"] = RepNCSPELAN4(8 * c, 8 * c, 8 * c, 4 * c)
+        m["7"] = ADown(8 * c, 8 * c)
+        m["8"] = RepNCSPELAN4(8 * c, 8 * c, 8 * c, 4 * c)
+        m["9"] = SPPELAN(8 * c, 8 * c, 4 * c)
+        m["12"] = RepNCSPELAN4(16 * c, 8 * c, 8 * c, 4 * c)
+        m["15"] = RepNCSPELAN4(16 * c, 4 * c, 4 * c, 2 * c)
+        m["16"] = ADown(4 * c, 4 * c)
+        m["18"] = RepNCSPELAN4(12 * c, 8 * c, 8 * c, 4 * c)
+        m["19"] = ADown(8 * c, 8 * c)
+        m["21"] = RepNCSPELAN4(16 * c, 8 * c, 8 * c, 4 * c)
+        chs = (4 * c, 8 * c, 8 * c)
+        cb = max(16, chs[0] // 4, reg_max * 4)
+        cc = max(chs[0], min(nc, 100))
+        head = nn.Module()
+        head.cv2 = nn.ModuleList(
+            nn.Sequential(YConv(x, cb, 3), YConv(cb, cb, 3), nn.Conv2d(cb, 4 * reg_max, 1))
+            for x in chs
+        )
+        head.cv3 = nn.ModuleList(
+            nn.Sequential(YConv(x, cc, 3), YConv(cc, cc, 3), nn.Conv2d(cc, nc, 1))
+            for x in chs
+        )
+        m["22"] = head
+        self.model = m
+        self.nc, self.reg_max = nc, reg_max
+
+    def forward(self, x):
+        m = self.model
+        h = m["2"](m["1"](m["0"](x)))
+        p3in = m["4"](m["3"](h))
+        p4in = m["6"](m["5"](p3in))
+        p5 = m["9"](m["8"](m["7"](p4in)))
+        u = torch.cat([F.interpolate(p5, scale_factor=2, mode="nearest"), p4in], 1)
+        n4 = m["12"](u)
+        u = torch.cat([F.interpolate(n4, scale_factor=2, mode="nearest"), p3in], 1)
+        n3 = m["15"](u)
+        n4 = m["18"](torch.cat([m["16"](n3), n4], 1))
+        n5 = m["21"](torch.cat([m["19"](n4), p5], 1))
+        head = m["22"]
+        return [(head.cv2[i](f), head.cv3[i](f)) for i, f in enumerate((n3, n4, n5))]
