@@ -38,6 +38,9 @@ class GenerationController:
         self.current_checkpoint = None
         self.current_lora = None
         self._taesd = self._try_load_taesd()
+        # single-flight: a second Generate while one runs would contend for
+        # the chip (the reference lets threads race, SURVEY §5.2)
+        self._run_lock = threading.Lock()
 
     @staticmethod
     def _try_load_taesd():
@@ -93,6 +96,23 @@ class GenerationController:
         progress_cb=None,  # fn(done, total)
         random_init: bool = False,
     ) -> np.ndarray | None:
+        from ..models.taesd import latent_to_rgb_preview
+
+        if not self._run_lock.acquire(blocking=False):
+            log.warning("generation already running; ignoring request")
+            return None
+        try:
+            return self._generate_locked(
+                prompt, neg, width, height, cfg, seed, steps, sampler_name,
+                scheduler, hires_fix, adetailer, enhance, preview_cb,
+                progress_cb, random_init,
+            )
+        finally:
+            self._run_lock.release()
+
+    def _generate_locked(self, prompt, neg, width, height, cfg, seed, steps,
+                         sampler_name, scheduler, hires_fix, adetailer,
+                         enhance, preview_cb, progress_cb, random_init):
         from ..models.taesd import latent_to_rgb_preview
 
         self.interrupt_flag = False  # the reference forgets this (:10794)

@@ -216,11 +216,7 @@ class SDPipeline:
             cond.shape[1], uncond.shape[1],
             masked=noise_mask is not None,
             differential_diffusion=differential_diffusion and noise_mask is not None,
-            deepcache=(
-                deepcache_interval
-                if (noise_mask is None and y_cond is None)
-                else 0
-            ),
+            deepcache=deepcache_interval if noise_mask is None else 0,
             has_y=y_cond is not None,
         )
         program = self._sample_program(cfg_key, sigmas.tobytes())
@@ -273,7 +269,8 @@ class SDPipeline:
         n = sigmas.shape[0] - 1
 
         @jax.jit
-        def program(unet_params, noise, latent, cond, uncond, cfg_scale, key):
+        def program(unet_params, noise, latent, cond, uncond, cfg_scale, key,
+                    y_cond=None, y_uncond=None):
             from ..diffusion.cfg import common_context_length, pad_context_to
 
             b = latent.shape[0]
@@ -287,6 +284,15 @@ class SDPipeline:
                 ],
                 axis=0,
             ).astype(policy.compute_dtype)
+            y2 = None
+            if y_cond is not None:
+                y2 = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(y_cond, (b,) + y_cond.shape[1:]),
+                        jnp.broadcast_to(y_uncond, (b,) + y_uncond.shape[1:]),
+                    ],
+                    axis=0,
+                )
 
             def denoise_cached(x, sigma, i, cache):
                 sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
@@ -297,7 +303,7 @@ class SDPipeline:
                 refresh = (i % interval) == 0
                 eps2, cache = U.apply_unet_cached(
                     unet_params, x2.astype(policy.compute_dtype), t2, context,
-                    cache, refresh, cfg=unet_cfg, policy=policy,
+                    cache, refresh, y=y2, cfg=unet_cfg, policy=policy,
                 )
                 den2 = ms.calculate_denoised(
                     jnp.concatenate([sigma_b, sigma_b]),

@@ -184,3 +184,17 @@ def test_ksampler_advanced_step_windows():
     np.testing.assert_array_equal(
         np.asarray(noop["samples"]), np.asarray(latent["samples"])
     )
+
+
+def test_generation_single_flight():
+    """A second generate while one runs is rejected (no GPU-thread races)."""
+    import threading
+    from lightdiffusion_tpu.frontends.gui import GenerationController
+
+    ctl = GenerationController()
+    ctl._run_lock.acquire()  # simulate a run in progress
+    try:
+        out = ctl.generate("x", "", 32, 32, 7.0)
+        assert out is None
+    finally:
+        ctl._run_lock.release()

@@ -124,3 +124,47 @@ def test_xl_pipeline_end_to_end():
                   seed=0, sampler_name="euler_ancestral")
     assert img.shape == (1, 32, 32, 3)
     assert np.isfinite(img).all()
+
+
+def test_xl_deepcache_runs():
+    from tests.test_pipeline import TINY_VAE
+    from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
+    from lightdiffusion_tpu.models import vae as V
+    from lightdiffusion_tpu.diffusion.parameterization import make_discrete_sampling
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    cfg_l = C.ClipConfig(hidden_size=24, num_layers=2, num_heads=2,
+                         intermediate_size=48)
+    cfg_g = C.ClipConfig(hidden_size=40, num_layers=2, num_heads=2,
+                         intermediate_size=80, hidden_act="gelu",
+                         pad_with_end=False)
+    xl_cfg = U.UNetConfig(
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
+        transformer_depth=(0, 1), middle_depth=1, context_dim=64,
+        num_heads=-1, num_head_channels=16, use_linear_projections=True,
+        adm_in_channels=40 + 6 * 256, attn_force="xla",
+    )
+    sd = StableDiffusion(
+        unet_params=U.init_unet_params(k[0], xl_cfg), unet_config=xl_cfg,
+        clip_params=C.init_clip_params(k[1], cfg_l), clip_config=cfg_l,
+        vae_params=V.init_vae_params(k[2], TINY_VAE), vae_config=TINY_VAE,
+        model_sampling=make_discrete_sampling("eps"),
+        clip2_params=C.init_clip_params(k[3], cfg_g), clip2_config=cfg_g,
+    )
+    pipe = SDPipeline(sd, policy=L.FP32)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    latent = pipe.empty_latent(32, 32)
+    out = pipe.sample_latent(
+        latent, pos, neg, steps=4, sampler_name="euler_ancestral",
+        deepcache_interval=2,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    # masked XL path
+    mask = np.zeros((1, latent.shape[1], latent.shape[2], 1), np.float32)
+    mask[:, 2:6, 2:6] = 1.0
+    out2 = pipe.sample_latent(
+        latent, pos, neg, steps=3, denoise=0.6, noise_mask=jnp.asarray(mask),
+        sampler_name="euler_ancestral",
+    )
+    assert np.isfinite(np.asarray(out2)).all()
