@@ -36,3 +36,40 @@ def step_noise_key(seed_or_key, step) -> jax.Array:
 
 def step_noise(key, step, shape, dtype=jnp.float32) -> jnp.ndarray:
     return jax.random.normal(step_noise_key(key, step), shape, dtype)
+
+
+class BrownianTreeNoiseSampler:
+    """Seed-reproducible per-interval noise — the contract of the reference's
+    torchsde Brownian tree (LightDiffusion.py:857-905), re-expressed over
+    PRNG keys: the unit-variance normal for an interval (σ_from, σ_to)
+    depends only on (seed, interval endpoints), independent of call order or
+    chunking. Not bit-identical to torchsde (impossible cross-framework;
+    SURVEY §7 'hard parts')."""
+
+    def __init__(self, x, sigma_min=None, sigma_max=None, seed: int = 0):
+        self.shape = x.shape
+        self.dtype = x.dtype
+        self.key = (
+            jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
+        )
+
+    def __call__(self, sigma_from, sigma_to) -> jnp.ndarray:
+        # hash the interval endpoints into the key (stable across chunking)
+        def q(s):
+            return jnp.round(jnp.log(jnp.maximum(jnp.asarray(s, jnp.float32),
+                                                  1e-10)) * 1e4).astype(jnp.int32)
+
+        k = jax.random.fold_in(self.key, q(sigma_from))
+        k = jax.random.fold_in(k, q(sigma_to))
+        return jax.random.normal(k, self.shape, self.dtype)
+
+
+class Noise_RandomNoise:
+    """Seeded noise generator object (ref :9043)."""
+
+    def __init__(self, seed: int):
+        self.seed = seed
+
+    def generate_noise(self, latent) -> jnp.ndarray:
+        samples = latent["samples"] if isinstance(latent, dict) else latent
+        return prepare_noise(jnp.asarray(samples, jnp.float32), self.seed)

@@ -159,3 +159,29 @@ def test_higher_order_samplers_linear_ode():
     for name in ("heun", "dpm_2"):
         e = abs(float(S.get_sampler(name)(den, x_init, sigmas)[0, 0, 0, 0]) - exact)
         assert e < e_euler / 3, (name, e, e_euler)
+
+
+def test_brownian_sampler_contract():
+    from lightdiffusion_tpu.diffusion.noise import (
+        BrownianTreeNoiseSampler,
+        Noise_RandomNoise,
+    )
+
+    x = jnp.zeros((1, 4, 4, 4))
+    s1 = BrownianTreeNoiseSampler(x, 0.03, 14.6, seed=7)
+    s2 = BrownianTreeNoiseSampler(x, 0.03, 14.6, seed=7)
+    a = s1(10.0, 5.0)
+    b = s2(10.0, 5.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = s1(5.0, 2.0)
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-3  # disjoint interval
+    d = BrownianTreeNoiseSampler(x, 0.03, 14.6, seed=8)(10.0, 5.0)
+    assert np.abs(np.asarray(a) - np.asarray(d)).max() > 1e-3  # other seed
+    # unit variance-ish
+    big = BrownianTreeNoiseSampler(jnp.zeros((64, 64)), seed=0)(3.0, 1.0)
+    assert 0.8 < float(jnp.std(big)) < 1.2
+
+    n = Noise_RandomNoise(3).generate_noise({"samples": x})
+    np.testing.assert_array_equal(
+        np.asarray(n), np.asarray(Noise_RandomNoise(3).generate_noise(x))
+    )
