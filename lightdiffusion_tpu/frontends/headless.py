@@ -57,7 +57,13 @@ def load_default_pipeline(
     lora_args = [
         (assets.resolve_file("loras", n), sm, sc) for (n, sm, sc) in loras
     ]
-    sd = CKPT.load_checkpoint(path, loras=lora_args)
+    if lora_args:
+        sd = CKPT.load_checkpoint(path, loras=lora_args)
+    else:
+        # warm starts skip torch parsing + transposes via the orbax cache
+        from ..loader.native_cache import load_checkpoint_cached
+
+        sd = load_checkpoint_cached(path)
     return SDPipeline(sd, clip_skip=clip_skip)
 
 

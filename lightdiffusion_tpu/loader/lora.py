@@ -86,7 +86,7 @@ def unet_to_diffusers(cfg: UNetConfig) -> dict[str, str]:
     for dk, lk in res_base.items():  # mid resblocks never change channels
         m[f"mid_block.resnets.0.{dk}"] = f"middle_block.0.{lk}"
         m[f"mid_block.resnets.1.{dk}"] = f"middle_block.2.{lk}"
-    attn_keys("mid_block.attentions.0", "middle_block.1", 1)
+    attn_keys("mid_block.attentions.0", "middle_block.1", cfg.middle_depth)
 
     idx = 0
     for level in reversed(range(n_levels)):

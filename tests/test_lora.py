@@ -104,3 +104,17 @@ def test_conv_lora_merge():
     merged = LR.apply_loras_to_checkpoint(sd, TINY, [(lora_sd, 1.0, 1.0)])
     expected = w + (up.reshape(32, 4) @ down.reshape(4, -1)).reshape(w.shape)
     np.testing.assert_allclose(merged[target], expected, rtol=1e-5)
+
+
+def test_xl_lora_map_covers_deep_middle():
+    from lightdiffusion_tpu.models.unet import SDXL_UNET
+
+    mapping = LR.unet_to_diffusers(SDXL_UNET)
+    assert (
+        mapping["mid_block.attentions.0.transformer_blocks.9.attn1.to_q"]
+        == "middle_block.1.transformer_blocks.9.attn1.to_q"
+    )
+    # level1 depth-2 blocks exist
+    assert "down_blocks.1.attentions.0.transformer_blocks.1.attn2.to_v" in mapping
+    # level0 has no attention in SDXL
+    assert not any(k.startswith("down_blocks.0.attentions") for k in mapping)
