@@ -54,17 +54,22 @@ def main():
     lat = (time.perf_counter() - t0) / 3
     log(f"batch-1 latency: {lat*1000:.0f} ms/image")
 
-    # serving throughput at the saturating batch (measured: 4)
+    # serving throughput at the saturating batch (measured: 4); fall back to
+    # the batch-1 number if the larger program fails for any reason
+    per_image = lat
     batch = 4
-    img = txt2img(pipe, seed=0, batch=batch, **kwargs)  # compile
-    n = 3
-    t0 = time.perf_counter()
-    for i in range(n):
-        img = txt2img(pipe, seed=i + 1, batch=batch, **kwargs)
-    per_image = (time.perf_counter() - t0) / n / batch
+    try:
+        img = txt2img(pipe, seed=0, batch=batch, **kwargs)  # compile
+        n = 3
+        t0 = time.perf_counter()
+        for i in range(n):
+            img = txt2img(pipe, seed=i + 1, batch=batch, **kwargs)
+        per_image = (time.perf_counter() - t0) / n / batch
+        log(f"batch-{batch} throughput: {per_image*1000:.0f} ms/image")
+    except Exception as e:
+        log(f"batch-{batch} failed ({e}); reporting batch-1 throughput")
     images_per_min = 60.0 / per_image
-    log(f"batch-{batch} throughput: {per_image*1000:.0f} ms/image -> "
-        f"{images_per_min:.1f} images/min/chip")
+    log(f"-> {images_per_min:.1f} images/min/chip")
     log(f"per-UNet-step (incl. CLIP+VAE amortized): {per_image/20*1000:.1f} ms")
 
     print(json.dumps({
