@@ -137,34 +137,37 @@ def _convert_all(sd, unet_config, unet_dtype, clip_dtype, vae_dtype, pred):
     # text-encoder family detection (beyond the reference's SD1.5-only
     # registry at :6015): SD2.x = OpenCLIP under cond_stage_model.model.*;
     # SDXL = dual towers under conditioner.embedders.{0,1}.*
-    from ..models.clip import SD2_CLIP, SDXL_CLIP_G
-    from .clip_weights import convert_open_clip_text_model
+    from .clip_weights import convert_open_clip_text_model, detect_clip_config
+    from .vae_weights import detect_vae_config
 
     clip2_params = clip2_config = None
-    vae_config = SD15_VAE
+    vae_config = detect_vae_config(sd)
     if any(k.startswith("conditioner.embedders.0.") for k in sd):
-        clip_params = convert_clip_text_model(
-            sd, prefix="conditioner.embedders.0.transformer.text_model.",
-            dtype=clip_dtype,
-        )
-        clip_config = SD1_CLIP
-        clip2_params = convert_open_clip_text_model(
-            sd, prefix="conditioner.embedders.1.model.", dtype=clip_dtype
-        )
-        clip2_config = SDXL_CLIP_G
-        vae_config = dataclasses.replace(SD15_VAE, scale_factor=0.13025)
+        # SDXL: CLIP-L + OpenCLIP bigG towers
+        p0 = "conditioner.embedders.0.transformer.text_model."
+        p1 = "conditioner.embedders.1.model."
+        clip_params = convert_clip_text_model(sd, prefix=p0, dtype=clip_dtype)
+        clip_config = detect_clip_config(sd, p0)
+        clip2_params = convert_open_clip_text_model(sd, prefix=p1, dtype=clip_dtype)
+        clip2_config = detect_clip_config(sd, p1, open_clip=True)
+        vae_config = dataclasses.replace(vae_config, scale_factor=0.13025)
     elif any(k.startswith("cond_stage_model.model.") for k in sd):
+        # SD2.x: one OpenCLIP tower
         clip_params = convert_open_clip_text_model(sd, dtype=clip_dtype)
-        clip_config = SD2_CLIP
+        clip_config = detect_clip_config(
+            sd, "cond_stage_model.model.", open_clip=True
+        )
     else:
         clip_params = convert_clip_text_model(sd, dtype=clip_dtype)
-        clip_config = SD1_CLIP
+        clip_config = detect_clip_config(
+            sd, "cond_stage_model.transformer.text_model."
+        )
     return StableDiffusion(
         unet_params=convert_unet(sd, unet_config, dtype=unet_dtype),
         unet_config=unet_config,
         clip_params=clip_params,
         clip_config=clip_config,
-        vae_params=convert_vae(sd, SD15_VAE, dtype=vae_dtype),
+        vae_params=convert_vae(sd, vae_config, dtype=vae_dtype),
         vae_config=vae_config,
         model_sampling=make_discrete_sampling(pred),
         flat_sd=sd,

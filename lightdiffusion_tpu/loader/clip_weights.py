@@ -18,6 +18,44 @@ def _t(w):
     return np.ascontiguousarray(np.asarray(w).T)
 
 
+def detect_clip_config(sd: dict, prefix: str, open_clip: bool = False):
+    """ClipConfig from state-dict shapes. head count is not stored in
+    weights; heads = hidden/64 is exact for every real CLIP text tower
+    (CLIP-L 768/12, OpenCLIP-H 1024/16, bigG 1280/20)."""
+    from ..models.clip import ClipConfig
+
+    if open_clip:
+        tok = np.asarray(sd[prefix + "token_embedding.weight"])
+        hidden = tok.shape[1]
+        n = 0
+        while f"{prefix}transformer.resblocks.{n}.ln_1.weight" in sd:
+            n += 1
+        inter = sd[prefix + "transformer.resblocks.0.mlp.c_fc.weight"].shape[0]
+        max_pos = sd[prefix + "positional_embedding"].shape[0]
+        act = "gelu"
+        pad_end = False
+    else:
+        tok = np.asarray(sd[prefix + "embeddings.token_embedding.weight"])
+        hidden = tok.shape[1]
+        n = 0
+        while f"{prefix}encoder.layers.{n}.layer_norm1.weight" in sd:
+            n += 1
+        inter = sd[prefix + "encoder.layers.0.mlp.fc1.weight"].shape[0]
+        max_pos = sd[prefix + "embeddings.position_embedding.weight"].shape[0]
+        act = "quick_gelu"
+        pad_end = True
+    return ClipConfig(
+        vocab_size=tok.shape[0],
+        hidden_size=hidden,
+        num_layers=n,
+        num_heads=max(1, hidden // 64),
+        intermediate_size=inter,
+        max_positions=max_pos,
+        hidden_act=act,
+        pad_with_end=pad_end,
+    )
+
+
 def convert_clip_text_model(
     sd: dict, prefix: str = "cond_stage_model.transformer.text_model.", dtype=jnp.float32
 ):

@@ -54,6 +54,36 @@ def _attn(sd, pfx, dtype):
     }
 
 
+def detect_vae_config(
+    sd: dict, prefix: str = "first_stage_model.", scale_factor: float = 0.18215
+) -> VAEConfig:
+    """Reconstruct the AutoencoderKL hyperparameters from key shapes (the
+    reference hardcodes the SD1.5 config at :6300-6326; detection makes the
+    loader robust to VAE variants and synthetic checkpoints)."""
+    def shape(name):
+        return tuple(sd[prefix + name].shape)
+
+    ch = shape("encoder.conv_in.weight")[0]
+    in_channels = shape("encoder.conv_in.weight")[1]
+    n_levels = 0
+    while f"{prefix}encoder.down.{n_levels}.block.0.conv1.weight" in sd:
+        n_levels += 1
+    num_res = 0
+    while f"{prefix}encoder.down.0.block.{num_res}.conv1.weight" in sd:
+        num_res += 1
+    ch_mult = tuple(
+        shape(f"encoder.down.{lv}.block.{num_res - 1}.conv2.weight")[0] // ch
+        for lv in range(n_levels)
+    )
+    z = shape("quant_conv.weight")[0] // 2
+    out_channels = shape("decoder.conv_out.weight")[0]
+    return VAEConfig(
+        ch=ch, ch_mult=ch_mult, num_res_blocks=num_res, z_channels=z,
+        in_channels=in_channels, out_channels=out_channels,
+        scale_factor=scale_factor,
+    )
+
+
 def convert_vae(
     sd: dict,
     cfg: VAEConfig = SD15_VAE,
