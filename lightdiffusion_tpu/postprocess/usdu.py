@@ -110,6 +110,7 @@ def ultimate_sd_upscale(
     seam_fix_padding: int = 16,
     esrgan=None,
     seed: int = 0,
+    mode_type: str = "Linear",
 ) -> np.ndarray:
     """Full USDU (defaults mirror the reference GUI img2img call
     :10392-10417)."""
@@ -133,15 +134,46 @@ def ultimate_sd_upscale(
             m[max(y1, 0):min(y2, ch), max(x1, 0):min(x2, cw)] = 1.0
             return m
 
-        # ---- linear redraw pass (ref :7945-7964) ----
-        for yi in range(rows):
-            for xi in range(cols):
-                m = rect_mask(xi * tile_width, yi * tile_height,
-                              (xi + 1) * tile_width, (yi + 1) * tile_height)
+        # ---- redraw pass: Linear (ref :7945-7964) or Chess (alternating
+        # parity so neighbours are redrawn in a second wave) ----
+        if mode_type == "Chess":
+            tile_order = [
+                (yi, xi) for yi in range(rows) for xi in range(cols)
+                if (xi + yi) % 2 == 0
+            ] + [
+                (yi, xi) for yi in range(rows) for xi in range(cols)
+                if (xi + yi) % 2 == 1
+            ]
+        else:
+            tile_order = [(yi, xi) for yi in range(rows) for xi in range(cols)]
+        for yi, xi in tile_order:
+            m = rect_mask(xi * tile_width, yi * tile_height,
+                          (xi + 1) * tile_width, (yi + 1) * tile_height)
+            _redraw_tile(
+                pipe, canvas, m, positive, negative_c, tile_width,
+                tile_height, padding, mask_blur, steps, cfg, denoise,
+                sampler_name, scheduler, seed,
+            )
+
+        # ---- seams fix: Band Pass (thin bands along every seam) ----
+        if seam_fix_mode == "Band Pass":
+            half_w = max(seam_fix_width // 2, 4)
+            for yi in range(rows - 1):
+                band_y = (yi + 1) * tile_height
+                m = rect_mask(0, band_y - half_w, cw, band_y + half_w)
                 _redraw_tile(
-                    pipe, canvas, m, positive, negative_c, tile_width,
-                    tile_height, padding, mask_blur, steps, cfg, denoise,
-                    sampler_name, scheduler, seed,
+                    pipe, canvas, m, positive, negative_c, cw,
+                    seam_fix_width, seam_fix_padding, seam_fix_mask_blur,
+                    steps, cfg, seam_fix_denoise, sampler_name, scheduler,
+                    seed,
+                )
+            for xi in range(cols - 1):
+                band_x = (xi + 1) * tile_width
+                m = rect_mask(band_x - half_w, 0, band_x + half_w, ch)
+                _redraw_tile(
+                    pipe, canvas, m, positive, negative_c, seam_fix_width,
+                    ch, seam_fix_padding, seam_fix_mask_blur, steps, cfg,
+                    seam_fix_denoise, sampler_name, scheduler, seed,
                 )
 
         # ---- seams fix: Half Tile (ref :7978-8061) ----
@@ -182,6 +214,26 @@ def ultimate_sd_upscale(
                         steps, cfg, seam_fix_denoise, sampler_name,
                         scheduler, seed,
                     )
+        # ---- seams fix: + Intersections (radial masks at tile corners) ----
+        if seam_fix_mode == "Half Tile + Intersections":
+            yy, xx = np.mgrid[0:tile_height, 0:tile_width].astype(np.float32)
+            cyx = (tile_height / 2, tile_width / 2)
+            r = np.sqrt((yy - cyx[0]) ** 2 + (xx - cyx[1]) ** 2)
+            radial = np.clip(1.0 - r / (min(tile_width, tile_height) / 2), 0, 1)
+            for yi in range(rows - 1):
+                for xi in range(cols - 1):
+                    m = np.zeros((ch, cw), np.float32)
+                    y0 = (yi + 1) * tile_height - tile_height // 2
+                    x0 = (xi + 1) * tile_width - tile_width // 2
+                    ys = slice(max(y0, 0), min(y0 + tile_height, ch))
+                    xs = slice(max(x0, 0), min(x0 + tile_width, cw))
+                    m[ys, xs] = radial[: ys.stop - ys.start, : xs.stop - xs.start]
+                    _redraw_tile(
+                        pipe, canvas, m, positive, negative_c, tile_width,
+                        tile_height, seam_fix_padding, seam_fix_mask_blur,
+                        steps, cfg, seam_fix_denoise, sampler_name,
+                        scheduler, seed,
+                    )
         out.append(canvas)
     return np.stack(out)
 
@@ -206,5 +258,6 @@ class UltimateSDUpscale:
             seam_fix_mode=seam_fix_mode, seam_fix_denoise=seam_fix_denoise,
             seam_fix_width=seam_fix_width, seam_fix_mask_blur=seam_fix_mask_blur,
             seam_fix_padding=seam_fix_padding, esrgan=upscale_model, seed=seed,
+            mode_type=mode_type,
         )
         return (out,)

@@ -78,3 +78,39 @@ def test_usdu_end_to_end():
     assert out.shape == (1, 64, 64, 3)
     assert np.isfinite(out).all()
     assert out.min() >= 0 and out.max() <= 1
+
+
+def _tiny_pipe():
+    from tests.test_pipeline import TINY_UNET, TINY_VAE, TINY_CLIP
+    from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
+    from lightdiffusion_tpu.models import unet as U, vae as V, clip as C
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.diffusion.parameterization import make_discrete_sampling
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    sd = StableDiffusion(
+        unet_params=U.init_unet_params(k[0], TINY_UNET), unet_config=TINY_UNET,
+        clip_params=C.init_clip_params(k[1], TINY_CLIP), clip_config=TINY_CLIP,
+        vae_params=V.init_vae_params(k[2], TINY_VAE), vae_config=TINY_VAE,
+        model_sampling=make_discrete_sampling("eps"),
+    )
+    return SDPipeline(sd, policy=L.FP32)
+
+
+@pytest.mark.parametrize("mode,seam", [
+    ("Chess", "None"),
+    ("Linear", "Band Pass"),
+    ("Linear", "Half Tile + Intersections"),
+])
+def test_usdu_modes(mode, seam):
+    pipe = _tiny_pipe()
+    img = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+    out = ultimate_sd_upscale(
+        pipe, img, "x", "", upscale_by=2.0, steps=2, denoise=0.4,
+        tile_width=32, tile_height=32, mask_blur=2, padding=4,
+        seam_fix_mode=seam, seam_fix_denoise=0.3, seam_fix_width=16,
+        mode_type=mode, seed=0,
+    )
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out).all()
