@@ -38,13 +38,37 @@ def step_noise(key, step, shape, dtype=jnp.float32) -> jnp.ndarray:
     return jax.random.normal(step_noise_key(key, step), shape, dtype)
 
 
+def interval_noise_key(key, sigma_from, sigma_to) -> jax.Array:
+    """PRNG key determined only by (key, σ_from, σ_to) — the reproducibility
+    contract of the reference's Brownian tree seeded with the TOTAL sigmas
+    (LightDiffusion.py:9025-9041): a partial-denoise window draws exactly the
+    noise the continuous run would at the same sigma interval, independent of
+    slicing/chunking. Endpoints are hashed in quantized log-sigma space (1e-4
+    resolution), traced-safe under jit/scan."""
+
+    def q(s):
+        return jnp.round(
+            jnp.log(jnp.maximum(jnp.asarray(s, jnp.float32), 1e-10)) * 1e4
+        ).astype(jnp.int32)
+
+    k = jax.random.fold_in(key, q(sigma_from))
+    return jax.random.fold_in(k, q(sigma_to))
+
+
+def interval_noise(key, sigma_from, sigma_to, shape, dtype=jnp.float32):
+    return jax.random.normal(
+        interval_noise_key(key, sigma_from, sigma_to), shape, dtype
+    )
+
+
 class BrownianTreeNoiseSampler:
     """Seed-reproducible per-interval noise — the contract of the reference's
     torchsde Brownian tree (LightDiffusion.py:857-905), re-expressed over
     PRNG keys: the unit-variance normal for an interval (σ_from, σ_to)
     depends only on (seed, interval endpoints), independent of call order or
     chunking. Not bit-identical to torchsde (impossible cross-framework;
-    SURVEY §7 'hard parts')."""
+    SURVEY §7 'hard parts'). Used by ``sample_dpmpp_2m_sde`` (samplers.py) —
+    the same sampler the reference feeds Brownian noise (:9017-9041)."""
 
     def __init__(self, x, sigma_min=None, sigma_max=None, seed: int = 0):
         self.shape = x.shape
@@ -54,14 +78,9 @@ class BrownianTreeNoiseSampler:
         )
 
     def __call__(self, sigma_from, sigma_to) -> jnp.ndarray:
-        # hash the interval endpoints into the key (stable across chunking)
-        def q(s):
-            return jnp.round(jnp.log(jnp.maximum(jnp.asarray(s, jnp.float32),
-                                                  1e-10)) * 1e4).astype(jnp.int32)
-
-        k = jax.random.fold_in(self.key, q(sigma_from))
-        k = jax.random.fold_in(k, q(sigma_to))
-        return jax.random.normal(k, self.shape, self.dtype)
+        return interval_noise(
+            self.key, sigma_from, sigma_to, self.shape, self.dtype
+        )
 
 
 class Noise_RandomNoise:

@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .noise import step_noise_key
+from .noise import interval_noise_key, step_noise_key
 
 KSAMPLER_NAMES = [
     "euler",
@@ -79,8 +79,10 @@ def sample_euler(denoise_fn, x, sigmas, key=None, callback=None, **_):
 
 
 def sample_euler_ancestral(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
-                           callback=None, **_):
-    """(ref :907-941)"""
+                           callback=None, step_offset=0, **_):
+    """(ref :907-941). ``step_offset``: absolute index of sigmas[0] in the
+    unsliced schedule, so a partial-denoise window (separated_sample, ref
+    :9113) draws the suffix noise of the continuous run, not steps 0..n."""
 
     def body(x, args):
         i, sigma, sigma_next = args
@@ -88,7 +90,9 @@ def sample_euler_ancestral(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
         sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next, eta)
         d = to_d(x, sigma, denoised)
         x = x + d * (sigma_down - sigma)
-        noise = jax.random.normal(step_noise_key(key, i), x.shape, x.dtype)
+        noise = jax.random.normal(
+            step_noise_key(key, i + step_offset), x.shape, x.dtype
+        )
         x = jnp.where(sigma_next > 0, x + noise * (s_noise * sigma_up), x)
         _maybe_callback(callback, i, x, denoised)
         return x, None
@@ -132,7 +136,11 @@ def sample_dpmpp_2m(denoise_fn, x, sigmas, key=None, callback=None, **_):
 
 def sample_dpmpp_2m_sde(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
                         callback=None, **_):
-    """DPM++(2M) SDE, midpoint solver (ref :1174-1244)."""
+    """DPM++(2M) SDE, midpoint solver (ref :1174-1244). Per-step noise is
+    INTERVAL-keyed (noise.interval_noise_key) — the Brownian-tree contract the
+    reference gets by seeding torchsde with the total sigmas (:9025-9041):
+    the noise drawn for (σ_i, σ_{i+1}) is the same whether the run is
+    continuous, sliced (separated_sample :9113), or chunked."""
 
     def body(carry, args):
         x, old_denoised, h_last = carry
@@ -154,7 +162,9 @@ def sample_dpmpp_2m_sde(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
             denoised - old_denoised
         )
         x_new = jnp.where(i > 0, x_2, x_new)
-        noise = jax.random.normal(step_noise_key(key, i), x.shape, x.dtype)
+        noise = jax.random.normal(
+            interval_noise_key(key, sigma, sigma_next), x.shape, x.dtype
+        )
         x_new = x_new + noise * (
             sigma_next * jnp.sqrt(-jnp.expm1(-2 * eta_h)) * s_noise
         )
@@ -224,8 +234,8 @@ def sample_dpm_2(denoise_fn, x, sigmas, key=None, callback=None, **_):
 
 
 def sample_dpm_2_ancestral(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
-                           callback=None, **_):
-    """Ancestral DPM-Solver-2."""
+                           callback=None, step_offset=0, **_):
+    """Ancestral DPM-Solver-2. ``step_offset``: see sample_euler_ancestral."""
 
     def body(x, args):
         i, sigma, sigma_next = args
@@ -238,7 +248,9 @@ def sample_dpm_2_ancestral(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
         denoised_2 = denoise_fn(x_mid, sigma_mid)
         d_2 = to_d(x_mid, sigma_mid, denoised_2)
         x_2 = x + d_2 * (sigma_down - sigma)
-        noise = jax.random.normal(step_noise_key(key, i), x.shape, x.dtype)
+        noise = jax.random.normal(
+            step_noise_key(key, i + step_offset), x.shape, x.dtype
+        )
         x_2 = jnp.where(sigma_next > 0, x_2 + noise * (s_noise * sigma_up), x_2)
         x = jnp.where(sigma_next == 0, denoised, x_2)
         _maybe_callback(callback, i, x, denoised)
@@ -381,7 +393,7 @@ def _as_stateful(denoise_fn):
     return fn
 
 
-def _euler_body(denoise_fn, key, eta, s_noise, ancestral):
+def _euler_body(denoise_fn, key, eta, s_noise, ancestral, step_offset=0):
     def body(carry, args):
         x, old_d, h_last, state = carry
         i, sigma, sigma_next = args
@@ -393,7 +405,9 @@ def _euler_body(denoise_fn, key, eta, s_noise, ancestral):
         d = to_d(x, sigma, denoised)
         x = x + d * (sigma_down - sigma)
         if ancestral:
-            noise = jax.random.normal(step_noise_key(key, i), x.shape, x.dtype)
+            noise = jax.random.normal(
+                step_noise_key(key, i + step_offset), x.shape, x.dtype
+            )
             x = jnp.where(sigma_next > 0, x + noise * (s_noise * sigma_up), x)
         return (x, denoised, h_last, state), None
 
@@ -438,7 +452,9 @@ def _dpmpp_2m_sde_body(denoise_fn, key, eta, s_noise):
             denoised - old_denoised
         )
         x_new = jnp.where(i > 0, x_2, x_new)
-        noise = jax.random.normal(step_noise_key(key, i), x.shape, x.dtype)
+        noise = jax.random.normal(
+            interval_noise_key(key, sigma, sigma_next), x.shape, x.dtype
+        )
         x_new = x_new + noise * (
             sigma_next * jnp.sqrt(-jnp.expm1(-2 * eta_h)) * s_noise
         )
@@ -449,16 +465,21 @@ def _dpmpp_2m_sde_body(denoise_fn, key, eta, s_noise):
 
 
 def make_stepper(name: str, denoise_fn, key, eta=1.0, s_noise=1.0,
-                 stateful: bool = False):
+                 stateful: bool = False, step_offset=0):
     """Returns a scan body with the uniform carry protocol
     (x, old_denoised, h_last, state), or None if the sampler has no
     fixed-step form (dpm_adaptive). ``stateful``: denoise_fn already has the
-    (x, sigma, i, state)->(denoised, state) signature (e.g. DeepCache)."""
+    (x, sigma, i, state)->(denoised, state) signature (e.g. DeepCache).
+    ``step_offset``: added to the xs index for the NOISE key only (the xs
+    index itself stays window-relative so state gates like DeepCache refresh
+    keep their cadence)."""
     fn = denoise_fn if stateful else _as_stateful(denoise_fn)
     if name in ("euler", "ddim"):
-        return _euler_body(fn, key, eta, s_noise, ancestral=False)
+        return _euler_body(fn, key, eta, s_noise, ancestral=False,
+                           step_offset=step_offset)
     if name == "euler_ancestral":
-        return _euler_body(fn, key, eta, s_noise, ancestral=True)
+        return _euler_body(fn, key, eta, s_noise, ancestral=True,
+                           step_offset=step_offset)
     if name == "dpmpp_2m_sde":
         return _dpmpp_2m_sde_body(fn, key, eta, s_noise)
     if name == "dpmpp_2m":

@@ -50,9 +50,11 @@ def sample(
     sampler_name: str = "euler_ancestral",
     callback=None,
     sampler_options: dict | None = None,
+    step_offset: int = 0,
 ):
     """Scale noise in, run the named sampler, inverse-scale out
-    (ref KSAMPLER.sample :2732-2773)."""
+    (ref KSAMPLER.sample :2732-2773). ``step_offset``: absolute index of
+    sigmas[0] in the unsliced schedule, for partial-denoise windows."""
     if sigmas.shape[0] == 0:
         return latent
     # NOTE: latents in this framework are ALWAYS in model space — the VAE
@@ -73,7 +75,8 @@ def sample(
     # samplers need concrete endpoint values at trace time
     x = sampler_fn(
         denoise_fn, x, np.asarray(sigmas, np.float32), key=key,
-        callback=callback, **(sampler_options or {}),
+        callback=callback, step_offset=step_offset,
+        **(sampler_options or {}),
     )
     return model_sampling.inverse_noise_scaling(jnp.float32(sigmas[-1]), x)
 

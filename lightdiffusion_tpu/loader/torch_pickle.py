@@ -37,6 +37,26 @@ class _Stub:
         return self
 
 
+def _allowed_global(module: str, name: str) -> bool:
+    """Globals a checkpoint legitimately needs to rebuild tensors — nothing
+    that can execute attacker-controlled code."""
+    if module == "collections" and name == "OrderedDict":
+        return True
+    if module == "torch._utils" and name.startswith("_rebuild"):
+        return True
+    if module == "torch" and (
+        name.endswith("Storage") or name in ("Size", "device", "dtype")
+    ):
+        return True
+    if module == "torch.storage" and name == "_load_from_bytes":
+        return True  # legacy-format tensor payloads
+    if module.startswith("numpy") and name in (
+        "_reconstruct", "ndarray", "dtype", "scalar", "_frombuffer",
+    ):
+        return True
+    return False
+
+
 def load_any_torch_checkpoint(path: str | Path) -> dict:
     """Best effort: returns a flat {name: np.ndarray} state dict."""
     import torch
@@ -49,11 +69,16 @@ def load_any_torch_checkpoint(path: str | Path) -> dict:
 
 
     class StubUnpickler(pickle.Unpickler):
+        """ALLOWLIST unpickler: only tensor-rebuild globals resolve to real
+        callables; every other global — importable or not — becomes an inert
+        _Stub subclass, so a malicious checkpoint cannot reach os.system &co
+        through a pickle REDUCE. (The reference torch.loads untrusted YOLO
+        checkpoints wholesale, :8455-8461 — do not replicate.)"""
+
         def find_class(self, module, name):
-            try:
+            if _allowed_global(module, name):
                 return super().find_class(module, name)
-            except Exception:
-                return type(f"{module}.{name}", (_Stub,), {})
+            return type(f"{module}.{name}", (_Stub,), {})
 
     # torch.load allows a custom pickle_module; wrap one around StubUnpickler
     class _PickleModule:

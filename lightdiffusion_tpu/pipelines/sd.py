@@ -110,9 +110,12 @@ class SDPipeline:
         return self._cond_cache[key]
 
     # --------------------------------------------------------- programs -----
-    def _sample_program(self, cfg_key: SampleConfig, sigmas_bytes: bytes):
-        """One jitted program: noise-scale → sampler scan → final latent."""
-        key = ("sample", cfg_key, sigmas_bytes)
+    def _sample_program(self, cfg_key: SampleConfig, sigmas_bytes: bytes,
+                        step_offset: int = 0):
+        """One jitted program: noise-scale → sampler scan → final latent.
+        ``step_offset``: absolute index of the window's first sigma in the
+        unsliced schedule (Brownian/suffix-noise semantics, ref :9025-9041)."""
+        key = ("sample", cfg_key, sigmas_bytes, step_offset)
         if key in self._programs:
             return self._programs[key]
         sigmas = np.frombuffer(sigmas_bytes, dtype=np.float32)
@@ -124,7 +127,7 @@ class SDPipeline:
             return U.apply_unet(params, x, t, ctx, cfg=unet_cfg, policy=policy)
 
         if cfg_key.deepcache > 1:
-            program = self._deepcache_program(cfg_key, sigmas)
+            program = self._deepcache_program(cfg_key, sigmas, step_offset)
             self._programs[key] = program
             return program
 
@@ -157,7 +160,7 @@ class SDPipeline:
                 )
             return SMP.sample(
                 denoise_fn, ms, noise, sigmas, latent=latent, key=key,
-                sampler_name=cfg_key.sampler_name,
+                sampler_name=cfg_key.sampler_name, step_offset=step_offset,
             )
 
         self._programs[key] = program
@@ -205,6 +208,7 @@ class SDPipeline:
             y_cond = sdxl_vector_conditioning(pooled_c, w_px, h_px)
             y_uncond = sdxl_vector_conditioning(pooled_u, w_px, h_px)
         sigmas = SMP.sigmas_for(self.sd.model_sampling, scheduler, steps, denoise)
+        lo = 0
         if start_step is not None or last_step is not None:
             lo = start_step or 0
             hi = last_step if last_step is not None else steps
@@ -219,7 +223,7 @@ class SDPipeline:
             deepcache=deepcache_interval if noise_mask is None else 0,
             has_y=y_cond is not None,
         )
-        program = self._sample_program(cfg_key, sigmas.tobytes())
+        program = self._sample_program(cfg_key, sigmas.tobytes(), step_offset=lo)
         noise = (
             jnp.zeros_like(latent, dtype=jnp.float32)
             if disable_noise
@@ -242,7 +246,8 @@ class SDPipeline:
             kwargs["y_uncond"] = y_uncond
         return program(*args, **kwargs)
 
-    def _deepcache_program(self, cfg_key: SampleConfig, sigmas: np.ndarray):
+    def _deepcache_program(self, cfg_key: SampleConfig, sigmas: np.ndarray,
+                           step_offset: int = 0):
         """Sampling program with DeepCache deep-block reuse (arXiv 2312.03209,
         PAPERS.md): the deep UNet half recomputes every ``deepcache`` steps.
         Opt-in accelerator beyond the reference."""
@@ -318,7 +323,8 @@ class SDPipeline:
                 latent.astype(jnp.float32), max_denoise,
             )
             body = make_stepper(
-                cfg_key.sampler_name, denoise_cached, key, stateful=True
+                cfg_key.sampler_name, denoise_cached, key, stateful=True,
+                step_offset=step_offset,
             )
             cache0 = jnp.zeros(
                 U.deepcache_shape(unet_cfg, latent.shape[1], latent.shape[2],

@@ -178,10 +178,14 @@ def ultimate_sd_upscale(
 
         # ---- seams fix: Half Tile (ref :7978-8061) ----
         if seam_fix_mode in ("Half Tile", "Half Tile + Intersections"):
-            gradient = np.concatenate(
-                [np.linspace(0, 1, tile_height // 2),
-                 np.linspace(1, 0, tile_height - tile_height // 2)]
-            ).astype(np.float32)
+            def _feather(span: int) -> np.ndarray:
+                return np.concatenate(
+                    [np.linspace(0, 1, span // 2),
+                     np.linspace(1, 0, span - span // 2)]
+                ).astype(np.float32)
+
+            grad_y = _feather(tile_height)  # horizontal seams span tile_height
+            grad_x = _feather(tile_width)   # vertical seams span tile_width
             # horizontal seams (rows boundaries)
             for yi in range(rows - 1):
                 band_y = (yi + 1) * tile_height
@@ -190,7 +194,9 @@ def ultimate_sd_upscale(
                     y1 = band_y - tile_height // 2
                     y2 = band_y + tile_height // 2
                     ys = slice(max(y1, 0), min(y2, ch))
-                    g = gradient[: ys.stop - ys.start]
+                    # slice the ramp at the clamp offset so edge bands keep
+                    # the portion corresponding to their position
+                    g = grad_y[ys.start - y1 : ys.start - y1 + ys.stop - ys.start]
                     m[ys, xi * tile_width : (xi + 1) * tile_width] = g[:, None]
                     _redraw_tile(
                         pipe, canvas, m, positive, negative_c, tile_width,
@@ -206,7 +212,7 @@ def ultimate_sd_upscale(
                     x1 = band_x - tile_width // 2
                     x2 = band_x + tile_width // 2
                     xs = slice(max(x1, 0), min(x2, cw))
-                    g = gradient[: xs.stop - xs.start]
+                    g = grad_x[xs.start - x1 : xs.start - x1 + xs.stop - xs.start]
                     m[yi * tile_height : (yi + 1) * tile_height, xs] = g[None, :]
                     _redraw_tile(
                         pipe, canvas, m, positive, negative_c, tile_width,

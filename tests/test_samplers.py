@@ -185,3 +185,53 @@ def test_brownian_sampler_contract():
     np.testing.assert_array_equal(
         np.asarray(n), np.asarray(Noise_RandomNoise(3).generate_noise(x))
     )
+
+
+# ------------------------- partial-denoise window noise semantics ----------
+# Reference contract: ksampler2 seeds the Brownian sampler with the TOTAL
+# sigmas (LightDiffusion.py:9025-9041) so a separated_sample window (:9113)
+# reproduces the continuous run's noise. Here: ancestral samplers key noise
+# on the ABSOLUTE step (step_offset), SDE samplers on the sigma INTERVAL.
+
+def test_window_resume_euler_ancestral_exact_suffix():
+    a = 0.3
+
+    def den(x, sigma):
+        return a * x
+
+    sigmas = get_sigmas_karras(12, 0.03, 14.6)
+    key = jax.random.PRNGKey(42)
+    x_init = jax.random.normal(jax.random.PRNGKey(0), SHAPE) * sigmas[0]
+
+    full = S.sample_euler_ancestral(den, x_init, sigmas, key)
+    k = 5
+    mid = S.sample_euler_ancestral(den, x_init, sigmas[: k + 1], key)
+    end = S.sample_euler_ancestral(den, mid, sigmas[k:], key, step_offset=k)
+    np.testing.assert_allclose(np.asarray(end), np.asarray(full), rtol=1e-6)
+
+    # and WITHOUT the offset the windows draw already-consumed noise
+    wrong = S.sample_euler_ancestral(den, mid, sigmas[k:], key)
+    assert np.abs(np.asarray(wrong) - np.asarray(full)).max() > 1e-3
+
+
+def test_window_resume_dpmpp_2m_sde_interval_noise():
+    # constant denoiser ⇒ the 2nd-order correction vanishes, so split-run ==
+    # full-run iff the per-step noise depends only on the sigma interval
+    x0 = jnp.full(SHAPE, 0.4)
+    den = perfect_denoiser(x0)
+    sigmas = get_sigmas_karras(12, 0.03, 14.6)
+    key = jax.random.PRNGKey(7)
+    x_init = jax.random.normal(jax.random.PRNGKey(1), SHAPE) * sigmas[0]
+
+    full = S.sample_dpmpp_2m_sde(den, x_init, sigmas, key)
+    k = 4
+    mid = S.sample_dpmpp_2m_sde(den, x_init, sigmas[: k + 1], key)
+    end = S.sample_dpmpp_2m_sde(den, mid, sigmas[k:], key)
+    np.testing.assert_allclose(np.asarray(end), np.asarray(full), rtol=1e-5,
+                               atol=1e-6)
+
+    # different seed ⇒ different trajectory (noise actually in play);
+    # compare before the final σ=0 step, which collapses to `denoised`
+    trunc = S.sample_dpmpp_2m_sde(den, x_init, sigmas[:-1], key)
+    other = S.sample_dpmpp_2m_sde(den, x_init, sigmas[:-1], jax.random.PRNGKey(9))
+    assert np.abs(np.asarray(other) - np.asarray(trunc)).max() > 1e-4

@@ -114,3 +114,30 @@ def test_usdu_modes(mode, seam):
     )
     assert out.shape == (1, 64, 64, 3)
     assert np.isfinite(out).all()
+
+
+def test_usdu_half_tile_non_square_tiles():
+    """Half Tile seams with tile_width != tile_height (ADVICE r1: the shared
+    gradient crashed/truncated); also exercises edge-clamped bands."""
+    pipe = _tiny_pipe()
+    img = np.random.RandomState(1).rand(1, 48, 32, 3).astype(np.float32)
+    out = ultimate_sd_upscale(
+        pipe, img, "x", "", upscale_by=2.0, steps=2, denoise=0.4,
+        tile_width=32, tile_height=48, mask_blur=2, padding=4,
+        seam_fix_mode="Half Tile", seam_fix_denoise=0.3, seed=0,
+    )
+    assert out.shape == (1, 96, 64, 3)
+    assert np.isfinite(out).all()
+
+
+def test_half_tile_gradient_clamp_offset():
+    """An edge-clamped feather band keeps the ramp portion matching its
+    clamped offset (falling half at the top edge), not the rising half."""
+    span = 8
+    grad = np.concatenate(
+        [np.linspace(0, 1, span // 2), np.linspace(1, 0, span - span // 2)]
+    ).astype(np.float32)
+    y1 = -3  # band clamped 3 px above the image top
+    ys = slice(max(y1, 0), min(y1 + span, 16))
+    g = grad[ys.start - y1 : ys.start - y1 + ys.stop - ys.start]
+    np.testing.assert_array_equal(g, grad[3:])
