@@ -93,6 +93,59 @@ def list_files(asset_class: str) -> list[str]:
     return out
 
 
+# ------------------------------------------------------ first-run bootstrap --
+# Exactly the reference's HF-Hub asset list (:53-120), keyed by asset class.
+# Each class downloads only when it has no matching file yet (the reference's
+# per-class glob checks).
+DEFAULT_ASSETS: dict[str, list[tuple[str, str]]] = {
+    "checkpoints": [("Meina/MeinaMix", "Meina V10 - baked VAE.safetensors")],
+    "yolos": [
+        ("Bingsu/adetailer", "hand_yolov9c.pt"),
+        ("Bingsu/adetailer", "face_yolov9c.pt"),
+        ("Bingsu/adetailer", "person_yolov8m-seg.pt"),
+        ("segments-arnaud/sam_vit_b", "sam_vit_b_01ec64.pth"),
+    ],
+    "ESRGAN": [("lllyasviel/Annotators", "RealESRGAN_x4plus.pth")],
+    "loras": [("EvilEngine/add_detail", "add_detail.safetensors")],
+    "embeddings": [("EvilEngine/badhandv4", "badhandv4.pt")],
+    "vae_approx": [("madebyollin/taesd", "taesd_decoder.safetensors")],
+}
+
+
+def ensure_downloaded(
+    asset_classes: list[str] | None = None,
+    downloader=None,
+    root: str | os.PathLike | None = None,
+) -> list[Path]:
+    """First-run asset bootstrap (ref :53-120): pull each missing asset class
+    from HF Hub. Gated — if huggingface_hub is not importable (or no network),
+    this is a no-op returning []. ``downloader(repo_id, filename, local_dir)``
+    is injectable for tests; default is ``huggingface_hub.hf_hub_download``.
+    Returns the list of target dirs that were (attempted to be) populated."""
+    if downloader is None:
+        try:
+            from huggingface_hub import hf_hub_download as downloader  # noqa
+        except ImportError:
+            return []
+    base = Path(root) if root is not None else (
+        Path(__file__).resolve().parent.parent / "_internal"
+    )
+    touched: list[Path] = []
+    for cls in asset_classes or list(DEFAULT_ASSETS):
+        entries = DEFAULT_ASSETS.get(cls, [])
+        if not entries:
+            continue
+        if list_files(cls):  # the reference's "glob is non-empty" skip
+            continue
+        local = base / cls
+        local.mkdir(parents=True, exist_ok=True)
+        for repo_id, filename in entries:
+            downloader(repo_id=repo_id, filename=filename,
+                       local_dir=str(local))
+        touched.append(local)
+    return touched
+
+
 def output_dir() -> Path:
     env = os.environ.get("LDT_OUTPUT")
     if env:

@@ -262,9 +262,8 @@ def sample_dpm_2_ancestral(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
 
 
 # --------------------------------------------------------------- adaptive ---
-def sample_dpm_adaptive(
+def make_dpm_adaptive_loop(
     denoise_fn,
-    x,
     sigmas,
     key=None,
     order: int = 3,
@@ -273,14 +272,33 @@ def sample_dpm_adaptive(
     h_init: float = 0.05,
     accept_safety: float = 0.81,
     max_steps: int = 200,
+    pcoeff: float = 0.0,
+    icoeff: float = 1.0,
+    dcoeff: float = 0.0,
+    eta: float = 0.0,
+    s_noise: float = 1.0,
+    noise_sampler=None,
     callback=None,
-    **_,
 ):
-    """Adaptive order-3 DPM solver with PI step-size control (ref :1039-1114,
-    arXiv 2206.00927). Runs in t = −log σ space from sigma_max→sigma_min as a
-    ``lax.while_loop``; the trailing 0 sigma is handled by a final exact
-    denoise. Defaults match the reference's ``sample_dpm_adaptive`` call
-    (pcoeff=0, icoeff=1, dcoeff=0 → factor = inv_error^(1/order))."""
+    """Build the adaptive DPM solver loop pieces (init carry, cond, body) plus
+    the schedule endpoints — shared by the monolithic ``sample_dpm_adaptive``
+    and the bounded-segment interruptible runner (``dpm_adaptive_segment``).
+
+    Parity (/root/reference/LightDiffusion.py):
+      - order-2/3 shared-eps steps           :1001-1035
+      - adaptive accept/reject loop          :1039-1114 (rtol 0.05, atol
+        0.0078, error = RMS of (x_low−x_high)/delta)
+      - FULL PID step-size controller        :944-975 — error history
+        errs[0..2], b1=(p+i+d)/o, b2=−(p+2d)/o, b3=d/o, limiter 1+atan(x−1),
+        h*=factor on accept AND reject, history shifts only on accept,
+        PID order = 1.5 when eta>0 else the solver order
+      - eta/s_noise/noise_sampler            :1118-1140 signature (the
+        flattened ref zeroes su at :1085; here the SDE branch implements the
+        k-diffusion ancestral split the signature refers to)
+
+    Carry: (x, x_prev, s, h, e1, e2, n_iter, n_accept); e1/e2 are the PID's
+    inv-error history (0 = "no history yet", ref errs init :961-962).
+    """
     import numpy as np
 
     sig_host = np.asarray(sigmas)  # schedule constants, known at trace time
@@ -289,6 +307,21 @@ def sample_dpm_adaptive(
     sigma_min = float(sig_host[sig_host > 0].min())
     t_start = jnp.float32(-np.log(sigma_max))
     t_end = jnp.float32(-np.log(sigma_min))
+
+    pid_order = 1.5 if eta else float(order)
+    b1 = (pcoeff + icoeff + dcoeff) / pid_order
+    b2 = -(pcoeff + 2 * dcoeff) / pid_order
+    b3 = dcoeff / pid_order
+
+    if noise_sampler is None and eta:
+        from .noise import interval_noise_key
+
+        base_key = key if key is not None else jax.random.PRNGKey(0)
+
+        def noise_sampler(sigma_from, sigma_to, shape, dtype):
+            return jax.random.normal(
+                interval_noise_key(base_key, sigma_from, sigma_to), shape, dtype
+            )
 
     def sigma(t):
         return jnp.exp(-t)
@@ -329,31 +362,110 @@ def sample_dpm_adaptive(
         return x_low, x_high
 
     def cond(carry):
-        xx, x_prev, s, h, n_iter, n_accept = carry
+        xx, x_prev, s, h, e1, e2, n_iter, n_accept = carry
         return (s < t_end - 1e-5) & (n_iter < max_steps)
 
     def body(carry):
-        xx, x_prev, s, h, n_iter, n_accept = carry
+        xx, x_prev, s, h, e1, e2, n_iter, n_accept = carry
         t = jnp.minimum(t_end, s + h)
-        x_low, x_high = solver_23(xx, s, t)
+        if eta:
+            sd, _ = get_ancestral_step(sigma(s), sigma(t), eta)
+            t_ = jnp.minimum(t_end, -jnp.log(sd))
+            su = jnp.sqrt(
+                jnp.maximum(sigma(t) ** 2 - sigma(t_) ** 2, 0.0)
+            )
+        else:
+            t_, su = t, 0.0
+        x_low, x_high = solver_23(xx, s, t_)
         delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low), jnp.abs(x_prev)))
         error = jnp.sqrt(jnp.mean(((x_low - x_high) / delta) ** 2))
+        # PID step-size controller (ref :944-975)
         inv_error = 1.0 / (error + 1e-8)
-        factor = 1.0 + jnp.arctan(inv_error ** (1.0 / order) - 1.0)  # limiter
+        first = e1 <= 0.0
+        e1_eff = jnp.where(first, inv_error, e1)
+        e2_eff = jnp.where(first, inv_error, e2)
+        factor = 1.0 + jnp.arctan(
+            inv_error**b1 * e1_eff**b2 * e2_eff**b3 - 1.0
+        )
         accept = factor >= accept_safety
-        xx = jnp.where(accept, x_high, xx)
+        if eta:
+            noise = noise_sampler(sigma(s), sigma(t), xx.shape, xx.dtype)
+            x_acc = x_high + su * s_noise * noise
+        else:
+            x_acc = x_high
+        xx = jnp.where(accept, x_acc, xx)
         x_prev = jnp.where(accept, x_low, x_prev)
         s = jnp.where(accept, t, s)
+        e2 = jnp.where(accept, e1_eff, e2_eff)
+        e1 = jnp.where(accept, inv_error, e1_eff)
         h = jnp.abs(h * factor)
         _maybe_callback(callback, n_iter, xx, xx)
-        return (xx, x_prev, s, h, n_iter + 1, n_accept + accept.astype(jnp.int32))
+        return (xx, x_prev, s, h, e1, e2, n_iter + 1,
+                n_accept + accept.astype(jnp.int32))
 
-    init = (x, x, t_start, jnp.float32(h_init), jnp.int32(0), jnp.int32(0))
-    x, _, _, _, n_iter, n_accept = jax.lax.while_loop(cond, body, init)
+    def init(x):
+        return (x, x, t_start, jnp.float32(h_init), jnp.float32(0.0),
+                jnp.float32(0.0), jnp.int32(0), jnp.int32(0))
+
+    return init, cond, body, t_end, ends_at_zero, sigma
+
+
+def sample_dpm_adaptive(
+    denoise_fn,
+    x,
+    sigmas,
+    key=None,
+    callback=None,
+    **options,
+):
+    """Adaptive order-3 DPM solver with PID step-size control (ref :1039-1114,
+    arXiv 2206.00927). Runs in t = −log σ space from sigma_max→sigma_min as a
+    ``lax.while_loop``; the trailing 0 sigma is handled by a final exact
+    denoise. Defaults match the reference's call (pcoeff=0, icoeff=1,
+    dcoeff=0, eta=0); pass pcoeff/icoeff/dcoeff/eta/s_noise/noise_sampler
+    for the full controller / SDE variants (ref signature :1118-1140)."""
+    options.pop("step_offset", None)
+    init, cond, body, t_end, ends_at_zero, sigma = make_dpm_adaptive_loop(
+        denoise_fn, sigmas, key=key, callback=callback, **options
+    )
+    carry = jax.lax.while_loop(cond, body, init(x))
+    x = carry[0]
     # land exactly at sigma=0 when the schedule ends there: final denoise
     if ends_at_zero:
         x = denoise_fn(x, sigma(t_end))
     return x
+
+
+def dpm_adaptive_segment(denoise_fn, sigmas, key=None, seg_iters: int = 4,
+                         **options):
+    """Bounded-iteration adaptive runner for interruptible sampling: returns
+    (init_fn, run_fn, finish_fn). ``run_fn(carry)`` advances the while_loop
+    by ≤seg_iters solver iterations and returns (carry, done) — the host
+    polls interrupts/previews between calls (the reference polls
+    app.interrupt_flag INSIDE its Python loop, :1076; chunked compiled
+    segments are the TPU-correct equivalent, SURVEY §7)."""
+    options.pop("step_offset", None)
+    init, cond, body, t_end, ends_at_zero, sigma = make_dpm_adaptive_loop(
+        denoise_fn, sigmas, key=key, **options
+    )
+
+    def run(carry):
+        start = carry[6]
+
+        def seg_cond(c):
+            return cond(c) & (c[6] < start + seg_iters)
+
+        carry = jax.lax.while_loop(seg_cond, body, carry)
+        done = ~cond(carry)
+        return carry, done
+
+    def finish(carry):
+        x = carry[0]
+        if ends_at_zero:
+            x = denoise_fn(x, sigma(t_end))
+        return x
+
+    return init, run, finish
 
 
 SAMPLERS = {

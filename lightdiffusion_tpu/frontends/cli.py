@@ -71,6 +71,23 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--height", type=int, default=512)
     pl.add_argument("--number", type=int, default=1)
     pl.add_argument("--no-enhance", action="store_true")
+
+    w = sub.add_parser(
+        "warmup",
+        help="AOT-compile the common shape buckets into the persistent "
+             "XLA cache (replaces the reference's per-shape stable-fast "
+             "compile windup, README.md:24)",
+    )
+    common(w)
+    w.add_argument("--batch", type=int, default=1)
+
+    d = sub.add_parser(
+        "download",
+        help="first-run asset bootstrap from HF Hub (ref :53-120); "
+             "no-op when huggingface_hub/network is unavailable",
+    )
+    d.add_argument("--classes", nargs="*", default=None,
+                   help="asset classes (default: all)")
     return p
 
 
@@ -96,6 +113,24 @@ def main(argv=None):
     from ..pipelines.sd import txt2img
 
     t0 = time.time()
+    if args.command == "download":
+        from .. import assets
+
+        touched = assets.ensure_downloaded(asset_classes=args.classes)
+        print(f"populated {len(touched)} asset dirs" if touched
+              else "nothing to download (all present or hub unavailable)",
+              file=sys.stderr)
+        return
+    if args.command == "warmup":
+        from ..runtime.warmup import warmup
+
+        pipe = load_default_pipeline(
+            checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
+            clip_skip=args.clip_skip, random_init=args.random_init,
+        )
+        warmup(pipe, batch=args.batch)
+        print(f"warmup done in {time.time()-t0:.1f}s", file=sys.stderr)
+        return
     if args.command == "pipeline":
         pipeline(
             args.prompt, args.width, args.height, args.number,

@@ -240,6 +240,11 @@ def main():  # pragma: no cover - needs a display
 
     for v in (w_var, h_var, cfg_var):
         v.trace_add("write", persist)
+    # per-keystroke prompt/neg persistence (ref writes prompt.txt on every
+    # keystroke and slider release, :10270-10319) — a crash mid-typing
+    # must not lose the prompt
+    for box in (prompt_box, neg_box):
+        box.bind("<KeyRelease>", persist)
 
     def run_generate():
         persist()

@@ -25,7 +25,7 @@ DETAIL_PROMPT = (
 
 
 def load_detectors(person_model: str = "person_yolov8m-seg.pt",
-                   face_model: str = "face_yolov8n.pt",
+                   face_model: str = "face_yolov9c.pt",
                    sam_model: str = "sam_vit_b_01ec64.pth"):
     """Resolve + load the detection stack from the asset dirs; returns
     (yolo_person, yolo_face, sam_predictor), any of which may be None if the

@@ -367,6 +367,85 @@ class SDPipeline:
         self._programs[key] = program
         return program
 
+    def _adaptive_chunk_programs(self, cfg_key: SampleConfig,
+                                 sigmas_bytes: bytes, seg_iters: int):
+        """(run, finish) jitted programs advancing the dpm_adaptive
+        while_loop by ≤seg_iters solver iterations per call (samplers.
+        dpm_adaptive_segment) — host polls interrupts/previews between calls,
+        mirroring the reference's in-loop interrupt_flag check (:1076)."""
+        key = ("adaptive_chunk", cfg_key, sigmas_bytes, seg_iters)
+        if key in self._programs:
+            return self._programs[key]
+        sigmas = np.frombuffer(sigmas_bytes, dtype=np.float32)
+        ms = self.sd.model_sampling
+        unet_cfg = self.sd.unet_config
+        policy = self.policy
+
+        def unet_apply(params, x, t, ctx):
+            return U.apply_unet(params, x, t, ctx, cfg=unet_cfg, policy=policy)
+
+        from ..diffusion import samplers as S
+
+        def with_denoiser(fn):
+            @jax.jit
+            def prog(unet_params, cond, uncond, cfg_scale, carry):
+                denoise_fn = make_cfg_denoiser(
+                    unet_apply, unet_params, cond, uncond, cfg_scale, ms
+                )
+                _, run, finish = S.dpm_adaptive_segment(
+                    denoise_fn, sigmas, seg_iters=seg_iters
+                )
+                return fn(run, finish, carry)
+
+            return prog
+
+        run_prog = with_denoiser(lambda run, finish, carry: run(carry))
+        finish_prog = with_denoiser(lambda run, finish, carry: finish(carry))
+        self._programs[key] = (run_prog, finish_prog)
+        return self._programs[key]
+
+    def _sample_adaptive_chunked(self, latent, cond, uncond, seed, steps, cfg,
+                                 scheduler, denoise, chunk_size, on_chunk):
+        import math as _math
+
+        from ..diffusion import samplers as S
+
+        ms = self.sd.model_sampling
+        sigmas = SMP.sigmas_for(ms, scheduler, steps, denoise)
+        if sigmas.shape[0] <= 1:
+            return latent
+        noise = prepare_noise(latent.astype(jnp.float32), seed)
+        max_denoise = _math.isclose(
+            float(sigmas[0]), float(ms.sigma_max), rel_tol=1e-3
+        ) or float(sigmas[0]) > float(ms.sigma_max)
+        x = ms.noise_scaling(
+            jnp.float32(sigmas[0]), noise, latent.astype(jnp.float32), max_denoise
+        )
+        cfg_key = SampleConfig(
+            steps, "dpm_adaptive", scheduler, denoise, False,
+            cond.shape[1], uncond.shape[1],
+        )
+        # ≥3 UNet evals per solver iteration; chunk_size counts UNet steps
+        seg_iters = max(1, chunk_size // 3)
+        run_prog, finish_prog = self._adaptive_chunk_programs(
+            cfg_key, sigmas.tobytes(), seg_iters
+        )
+        init, _, _ = S.dpm_adaptive_segment(lambda x, s: x, sigmas,
+                                            seg_iters=seg_iters)
+        carry = init(x)
+        max_steps = 200
+        args = (self.sd.unet_params, cond, uncond, jnp.float32(cfg))
+        while True:
+            carry, done = run_prog(*args, carry)
+            n_iter = int(carry[6])
+            if on_chunk is not None:
+                if on_chunk(n_iter, max_steps, np.asarray(carry[0])) is False:
+                    break
+            if bool(done) or n_iter >= max_steps:
+                break
+        x = finish_prog(*args, carry)
+        return ms.inverse_noise_scaling(jnp.float32(sigmas[-1]), x)
+
     def sample_latent_chunked(
         self,
         latent,
@@ -383,15 +462,24 @@ class SDPipeline:
     ):
         """Interruptible sampling: compiled scans over chunks of steps, host
         polling between chunks (reference interrupt_flag/preview parity,
-        LightDiffusion.py:922/:937; SURVEY §7). Falls back to the monolithic
-        program for samplers without a fixed-step form."""
+        LightDiffusion.py:922/:937; SURVEY §7). dpm_adaptive runs as bounded
+        while_loop segments (ref polls inside its adaptive loop too, :1076).
+        Falls back to the monolithic program only for SDXL ADM conditioning."""
         from ..diffusion.samplers import make_stepper
 
+        cond_x = positive if isinstance(positive, jnp.ndarray) else positive[0]
+        uncond_x = negative if isinstance(negative, jnp.ndarray) else negative[0]
+        if (sampler_name == "dpm_adaptive"
+                and not self.sd.unet_config.adm_in_channels):
+            return self._sample_adaptive_chunked(
+                latent, cond_x, uncond_x, seed, steps, cfg, scheduler,
+                denoise, chunk_size, on_chunk,
+            )
         no_stepper = make_stepper(
             sampler_name, lambda x, s: x, jax.random.PRNGKey(0)
         ) is None
         if no_stepper or self.sd.unet_config.adm_in_channels:
-            # adaptive samplers / SDXL ADM conditioning: monolithic program
+            # other adaptive samplers / SDXL ADM conditioning: monolithic
             return self.sample_latent(
                 latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
                 sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,

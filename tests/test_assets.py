@@ -1,0 +1,78 @@
+"""Asset bootstrap: the reference's first-run HF-Hub download list
+(LightDiffusion.py:53-120) as a gated, injectable downloader."""
+
+import numpy as np
+
+from lightdiffusion_tpu import assets
+from lightdiffusion_tpu.pipelines.adetailer import load_detectors
+
+
+def test_default_asset_manifest_matches_reference():
+    # exactly the files the reference pulls (ref :53-120)
+    flat = {f for entries in assets.DEFAULT_ASSETS.values()
+            for (_, f) in entries}
+    assert flat == {
+        "Meina V10 - baked VAE.safetensors",
+        "hand_yolov9c.pt", "face_yolov9c.pt", "person_yolov8m-seg.pt",
+        "sam_vit_b_01ec64.pth", "RealESRGAN_x4plus.pth",
+        "add_detail.safetensors", "badhandv4.pt", "taesd_decoder.safetensors",
+    }
+
+
+def test_ensure_downloaded_mocked(tmp_path, monkeypatch):
+    monkeypatch.setenv("LDT_ASSETS", str(tmp_path / "nothing"))
+    calls = []
+
+    def fake_dl(repo_id, filename, local_dir):
+        calls.append((repo_id, filename))
+        (tmp_path / "dl").mkdir(exist_ok=True)
+
+    touched = assets.ensure_downloaded(
+        downloader=fake_dl, root=tmp_path / "root"
+    )
+    want = [(r, f) for entries in assets.DEFAULT_ASSETS.values()
+            for (r, f) in entries]
+    assert calls == want
+    assert len(touched) == len(assets.DEFAULT_ASSETS)
+    for d in touched:
+        assert d.is_dir()
+
+
+def test_ensure_downloaded_skips_populated_class(tmp_path, monkeypatch):
+    # a class that already has a matching file is skipped (ref glob checks)
+    root = tmp_path / "assets"
+    (root / "loras").mkdir(parents=True)
+    (root / "loras" / "existing.safetensors").write_bytes(b"x")
+    monkeypatch.setenv("LDT_ASSETS", str(root))
+    calls = []
+    assets.ensure_downloaded(
+        asset_classes=["loras"],
+        downloader=lambda **k: calls.append(k),
+        root=root,
+    )
+    assert calls == []
+
+
+def test_ensure_downloaded_noop_without_hub(monkeypatch):
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_hub(name, *a, **k):
+        if name == "huggingface_hub":
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_hub)
+    assert assets.ensure_downloaded() == []
+
+
+def test_adetailer_default_models_match_reference():
+    """The ref's detail passes use person_yolov8m-seg + face_yolov9c
+    (:10621-10731); defaults must match (silent-mismatch fix, VERDICT r1)."""
+    import inspect
+
+    sig = inspect.signature(load_detectors)
+    assert sig.parameters["face_model"].default == "face_yolov9c.pt"
+    assert sig.parameters["person_model"].default == "person_yolov8m-seg.pt"
+    assert sig.parameters["sam_model"].default == "sam_vit_b_01ec64.pth"

@@ -198,3 +198,48 @@ def test_generation_single_flight():
         assert out is None
     finally:
         ctl._run_lock.release()
+
+
+def test_warmup_populates_program_cache():
+    """runtime.warmup pre-compiles sampling programs into the pipeline's
+    program cache (the persistent-XLA-cache warm start, SURVEY §7)."""
+    from tests.test_usdu import _tiny_pipe
+    from lightdiffusion_tpu.runtime.warmup import warmup
+
+    pipe = _tiny_pipe()
+    assert len(pipe._programs) == 0
+    buckets = [(32, 32, 2, "euler_ancestral", "karras", 1.0),
+               (32, 32, 2, "dpmpp_2m_sde", "karras", 1.0)]
+    warmup(pipe, buckets=buckets)
+    n = len(pipe._programs)
+    assert n >= 2
+    warmup(pipe, buckets=buckets)  # idempotent: everything already cached
+    assert len(pipe._programs) == n
+
+
+def test_cli_parser_has_warmup_and_download():
+    from lightdiffusion_tpu.frontends.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["warmup", "--random-init", "--batch", "2"])
+    assert a.command == "warmup" and a.batch == 2
+    d = p.parse_args(["download", "--classes", "loras"])
+    assert d.command == "download" and d.classes == ["loras"]
+
+
+def test_cli_download_noop(monkeypatch, capsys):
+    """`download` command runs the gated bootstrap; without the hub package
+    it is a no-op."""
+    import builtins
+
+    from lightdiffusion_tpu.frontends import cli
+
+    real_import = builtins.__import__
+
+    def no_hub(name, *a, **k):
+        if name == "huggingface_hub":
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_hub)
+    cli.main(["download"])

@@ -160,3 +160,40 @@ def test_chunked_dpmpp_2m_matches_monolithic(pipe):
     np.testing.assert_allclose(
         np.asarray(full), np.asarray(chunked), atol=1e-5, rtol=1e-5
     )
+
+
+def test_chunked_dpm_adaptive_matches_monolithic(pipe):
+    """dpm_adaptive runs as bounded while_loop segments with host polling
+    (ref polls app.interrupt_flag inside the adaptive loop, :1076); the
+    segmented run is iteration-identical to the monolithic program."""
+    latent = pipe.empty_latent(32, 32)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    full = pipe.sample_latent(
+        latent, pos, neg, seed=3, steps=6, sampler_name="dpm_adaptive",
+    )
+    seen = []
+    chunked = pipe.sample_latent_chunked(
+        latent, pos, neg, seed=3, steps=6, sampler_name="dpm_adaptive",
+        chunk_size=6, on_chunk=lambda d, t, x: seen.append(d),
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), atol=1e-5, rtol=1e-5
+    )
+    assert len(seen) >= 1 and seen == sorted(seen)
+
+
+def test_chunked_dpm_adaptive_interrupt(pipe):
+    latent = pipe.empty_latent(32, 32)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    calls = []
+
+    def stop_after_first(done, total, x):
+        calls.append(done)
+        return False
+
+    out = pipe.sample_latent_chunked(
+        latent, pos, neg, seed=0, steps=6, sampler_name="dpm_adaptive",
+        chunk_size=3, on_chunk=stop_after_first,
+    )
+    assert len(calls) == 1
+    assert np.isfinite(np.asarray(out)).all()

@@ -235,3 +235,119 @@ def test_window_resume_dpmpp_2m_sde_interval_noise():
     trunc = S.sample_dpmpp_2m_sde(den, x_init, sigmas[:-1], key)
     other = S.sample_dpmpp_2m_sde(den, x_init, sigmas[:-1], jax.random.PRNGKey(9))
     assert np.abs(np.asarray(other) - np.asarray(trunc)).max() > 1e-4
+
+
+# --------------------------- dpm_adaptive: full PID controller parity ------
+def _np_dpm_adaptive(den, x, sigma_max, sigma_min, order=3, rtol=0.05,
+                     atol=0.0078, h_init=0.05, pcoeff=0.0, icoeff=1.0,
+                     dcoeff=0.0, accept_safety=0.81, max_steps=200):
+    """Independent numpy transcription of the reference's DPMSolver.
+    dpm_solver_adaptive + PIDStepSizeController (LightDiffusion.py:944-1114),
+    eta=0 path. NOT a copy — a test oracle."""
+    import math
+
+    def sig(t):
+        return math.exp(-t)
+
+    def eps(xx, t):
+        s = sig(t)
+        return (xx - den(xx, s)) / s
+
+    def step23(xx, s, t):
+        h = t - s
+        r1, r2 = 1 / 3, 2 / 3
+        e = eps(xx, s)
+        u1 = xx - sig(s + r1 * h) * np.expm1(r1 * h) * e
+        e1 = eps(u1, s + r1 * h)
+        x_low = (xx - sig(t) * np.expm1(h) * e
+                 - sig(t) / (2 * r1) * np.expm1(h) * (e1 - e))
+        u2 = (xx - sig(s + r2 * h) * np.expm1(r2 * h) * e
+              - sig(s + r2 * h) * (r2 / r1)
+              * (np.expm1(r2 * h) / (r2 * h) - 1) * (e1 - e))
+        e2 = eps(u2, s + r2 * h)
+        x_high = (xx - sig(t) * np.expm1(h) * e
+                  - sig(t) / r2 * (np.expm1(h) / h - 1) * (e2 - e))
+        return x_low, x_high
+
+    b1 = (pcoeff + icoeff + dcoeff) / order
+    b2 = -(pcoeff + 2 * dcoeff) / order
+    b3 = dcoeff / order
+    s, h, errs = -math.log(sigma_max), h_init, []
+    t_end = -math.log(sigma_min)
+    x_prev, n = x, 0
+    while s < t_end - 1e-5 and n < max_steps:
+        t = min(t_end, s + h)
+        x_low, x_high = step23(x, s, t)
+        delta = np.maximum(atol, rtol * np.maximum(np.abs(x_low), np.abs(x_prev)))
+        error = float(np.sqrt(np.mean(((x_low - x_high) / delta) ** 2)))
+        inv = 1 / (error + 1e-8)
+        if not errs:
+            errs = [inv, inv, inv]
+        errs[0] = inv
+        factor = 1 + math.atan(errs[0] ** b1 * errs[1] ** b2 * errs[2] ** b3 - 1)
+        if factor >= accept_safety:
+            x_prev, x, s = x_low, x_high, t
+            errs[2], errs[1] = errs[1], errs[0]
+        h = abs(h * factor)
+        n += 1
+    return x
+
+
+@pytest.mark.parametrize("coeffs", [
+    (0.0, 1.0, 0.0),          # reference defaults (I-only)
+    (0.2, 0.6, 0.1),          # full PID
+])
+def test_dpm_adaptive_full_pid_matches_reference_transcription(coeffs):
+    p, i, d = coeffs
+    a = 0.4
+
+    def den_np(x, sigma):
+        return a * x
+
+    sig_max, sig_min = 10.0, 0.05
+    x0 = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), SHAPE), np.float64
+    ) * sig_max
+    expect = _np_dpm_adaptive(den_np, x0, sig_max, sig_min,
+                              pcoeff=p, icoeff=i, dcoeff=d)
+    sigmas = jnp.asarray([sig_max, sig_min], jnp.float32)
+    got = S.sample_dpm_adaptive(
+        den_np, jnp.asarray(x0, jnp.float32), sigmas,
+        pcoeff=p, icoeff=i, dcoeff=d,
+    )
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-3, atol=2e-4)
+
+
+def test_dpm_adaptive_sde_options():
+    """eta>0 engages the ancestral split + interval-keyed noise (ref
+    signature :1118-1140); still converges and is seed-reproducible."""
+    x0 = jnp.full(SHAPE, 0.7)
+    sigmas = jnp.asarray([10.0, 0.03, 0.0], jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(0), SHAPE) * sigmas[0]
+    out1 = S.sample_dpm_adaptive(perfect_denoiser(x0), noise, sigmas,
+                                 key=jax.random.PRNGKey(5), eta=1.0,
+                                 s_noise=1.0)
+    out2 = S.sample_dpm_adaptive(perfect_denoiser(x0), noise, sigmas,
+                                 key=jax.random.PRNGKey(5), eta=1.0)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+    np.testing.assert_allclose(np.asarray(out1), 0.7, atol=5e-2)
+
+
+def test_dpm_adaptive_segment_matches_monolithic():
+    a = 0.4
+
+    def den(x, sigma):
+        return a * x
+
+    sigmas = jnp.asarray([8.0, 0.05, 0.0], jnp.float32)
+    x0 = jax.random.normal(jax.random.PRNGKey(2), SHAPE) * sigmas[0]
+    mono = S.sample_dpm_adaptive(den, x0, sigmas)
+
+    init, run, finish = S.dpm_adaptive_segment(den, sigmas, seg_iters=3)
+    carry = init(x0)
+    for _ in range(100):
+        carry, done = run(carry)
+        if bool(done):
+            break
+    seg = finish(carry)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(mono), rtol=1e-6)
