@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--deepcache", type=int, default=0, metavar="N",
                    help="refresh deep UNet blocks every N steps (faster, "
                         "slight quality trade; 0 = off)")
+    t.add_argument("--refiner", default=None, metavar="CKPT",
+                   help="SDXL refiner checkpoint: two-stage base→refiner "
+                        "sampling on one shared schedule")
+    t.add_argument("--refiner-switch", type=float, default=0.8,
+                   help="fraction of steps run on the base model")
 
     i = sub.add_parser("img2img", help="image → upscaled/refined image (USDU)")
     common(i)
@@ -142,6 +147,22 @@ def main(argv=None):
             checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
             clip_skip=args.clip_skip, random_init=args.random_init,
         )
+        if args.refiner:
+            from ..loader.checkpoint import load_checkpoint
+            from ..pipelines.sd import SDPipeline, txt2img_refined
+
+            refiner = SDPipeline(load_checkpoint(args.refiner),
+                                 clip_skip=args.clip_skip)
+            imgs = txt2img_refined(
+                pipe, refiner, args.prompt, args.negative, width=args.width,
+                height=args.height, steps=args.steps, cfg=args.cfg,
+                seed=args.seed, sampler_name=args.sampler,
+                scheduler=args.scheduler, refiner_switch=args.refiner_switch,
+                batch=args.batch,
+            )
+            SaveImage().save_images(imgs, args.output_prefix)
+            print(f"done in {time.time()-t0:.1f}s", file=sys.stderr)
+            return
         imgs = txt2img(
             pipe, args.prompt, args.negative, width=args.width,
             height=args.height, steps=args.steps, cfg=args.cfg,

@@ -92,11 +92,17 @@ class StableDiffusion:
     clip2_params: dict | None = None
     clip2_config: ClipConfig | None = None
 
+    @property
+    def is_refiner(self) -> bool:
+        """SDXL refiner: bigG-only conditioning (no CLIP-L tower)."""
+        return self.clip_params is None and self.clip2_params is not None
+
     def param_count(self) -> int:
         return sum(
             int(np.prod(x.shape))
             for x in jax.tree_util.tree_leaves(
-                (self.unet_params, self.clip_params, self.vae_params)
+                (self.unet_params, self.clip_params, self.vae_params,
+                 self.clip2_params)
             )
         )
 
@@ -142,8 +148,17 @@ def _convert_all(sd, unet_config, unet_dtype, clip_dtype, vae_dtype, pred):
 
     clip2_params = clip2_config = None
     vae_config = detect_vae_config(sd)
-    if any(k.startswith("conditioner.embedders.0.") for k in sd):
-        # SDXL: CLIP-L + OpenCLIP bigG towers
+    if any(k.startswith("conditioner.embedders.0.model.") for k in sd):
+        # SDXL REFINER: a single OpenCLIP bigG tower sits directly at
+        # embedders.0 (the base model has CLIP-L there and bigG at
+        # embedders.1) — clip slot stays empty, bigG goes in clip2
+        p0 = "conditioner.embedders.0.model."
+        clip_params, clip_config = None, None
+        clip2_params = convert_open_clip_text_model(sd, prefix=p0, dtype=clip_dtype)
+        clip2_config = detect_clip_config(sd, p0, open_clip=True)
+        vae_config = dataclasses.replace(vae_config, scale_factor=0.13025)
+    elif any(k.startswith("conditioner.embedders.0.") for k in sd):
+        # SDXL base: CLIP-L + OpenCLIP bigG towers
         p0 = "conditioner.embedders.0.transformer.text_model."
         p1 = "conditioner.embedders.1.model."
         clip_params = convert_clip_text_model(sd, prefix=p0, dtype=clip_dtype)

@@ -261,6 +261,52 @@ class SDXLTextEncoder:
         return cond, pooled_g
 
 
+class SDXLRefinerTextEncoder:
+    """SDXL-refiner conditioning: ONLY the OpenCLIP bigG tower (the refiner
+    checkpoint has a single conditioner.embedders.0.model tower); cond is the
+    penultimate bigG hidden (1280), pooled from the projected EOT. Beyond the
+    reference (SD1.5-only, registry at LightDiffusion.py:6015)."""
+
+    def __init__(self, params_g, cfg_g: ClipConfig = SDXL_CLIP_G,
+                 clip_skip: int = -2):
+        self.clip_g = ClipTextEncoder(
+            params_g, dataclasses.replace(cfg_g, pad_with_end=False),
+            policy=L.FP32, clip_skip=clip_skip, norm_hidden=False,
+        )
+        self.clip_skip = clip_skip
+        self.tokenizer = self.clip_g.tokenizer
+
+    def clip_layer(self, clip_skip: int):
+        self.clip_skip = clip_skip
+        self.clip_g.clip_layer(clip_skip)
+
+    def encode(self, text: str):
+        """→ (cond (1, 77·n, 1280), pooled (1, 1280))."""
+        return self.clip_g.encode(text)
+
+
+def sdxl_refiner_vector_conditioning(
+    pooled: jnp.ndarray,  # (B, 1280)
+    width: int,
+    height: int,
+    aesthetic_score: float = 6.0,
+    crop_w: int = 0,
+    crop_h: int = 0,
+) -> jnp.ndarray:
+    """Refiner ADM vector y (B, 2560): pooled text + fourier embeddings of
+    (orig_h, orig_w, crop_top, crop_left, aesthetic_score). The aesthetic
+    score replaces the base model's target size (positive≈6.0,
+    negative≈2.5)."""
+    from ..ops.layers import timestep_embedding
+
+    vals = [height, width, crop_h, crop_w, aesthetic_score]
+    embs = [timestep_embedding(jnp.asarray([float(v)]), 256) for v in vals]
+    size_emb = jnp.concatenate(embs, axis=-1)  # (1, 1280)
+    b = pooled.shape[0]
+    size_emb = jnp.broadcast_to(size_emb, (b, size_emb.shape[1]))
+    return jnp.concatenate([pooled.astype(jnp.float32), size_emb], axis=-1)
+
+
 def sdxl_vector_conditioning(
     pooled: jnp.ndarray,  # (B, 1280)
     width: int,

@@ -68,7 +68,14 @@ class SDPipeline:
             from ..parallel import mesh as M
 
             sd.unet_params = M.shard_params(sd.unet_params, mesh)
-        if sd.clip2_params is not None:
+        if sd.clip_params is None and sd.clip2_params is not None:
+            # SDXL refiner: bigG-only tower (loader/checkpoint.py detection)
+            from ..models.clip import SDXLRefinerTextEncoder
+
+            self.clip = SDXLRefinerTextEncoder(
+                sd.clip2_params, sd.clip2_config, clip_skip=clip_skip,
+            )
+        elif sd.clip2_params is not None:
             from ..models.clip import SDXLTextEncoder
 
             self.clip = SDXLTextEncoder(
@@ -166,6 +173,36 @@ class SDPipeline:
         self._programs[key] = program
         return program
 
+    def _adm_vectors(self, latent, positive, negative,
+                     aesthetic_pos: float = 6.0, aesthetic_neg: float = 2.5):
+        """SDXL ADM vector conditioning (base: pooled + 6 size embeddings;
+        refiner: pooled + 4 size + aesthetic score) or (None, None) for
+        SD1/SD2. Beyond the reference (SD1.5-only registry, :6015)."""
+        if not self.sd.unet_config.adm_in_channels:
+            return None, None
+        from ..models.clip import (
+            sdxl_refiner_vector_conditioning,
+            sdxl_vector_conditioning,
+        )
+
+        r = self.sd.vae_config.downscale_ratio
+        w_px, h_px = latent.shape[2] * r, latent.shape[1] * r
+        pooled_c = positive[1] if not isinstance(positive, jnp.ndarray) else None
+        pooled_u = negative[1] if not isinstance(negative, jnp.ndarray) else None
+        if pooled_c is None or pooled_u is None:
+            raise ValueError("SDXL models need (cond, pooled) conditioning tuples")
+        if self.sd.is_refiner:
+            return (
+                sdxl_refiner_vector_conditioning(pooled_c, w_px, h_px,
+                                                 aesthetic_pos),
+                sdxl_refiner_vector_conditioning(pooled_u, w_px, h_px,
+                                                 aesthetic_neg),
+            )
+        return (
+            sdxl_vector_conditioning(pooled_c, w_px, h_px),
+            sdxl_vector_conditioning(pooled_u, w_px, h_px),
+        )
+
     # ------------------------------------------------------------ core ------
     def sample_latent(
         self,
@@ -193,20 +230,7 @@ class SDPipeline:
         pooled outputs carried in (cond, pooled) tuples become ADM vectors."""
         cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
         uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
-        y_cond = y_uncond = None
-        if self.sd.unet_config.adm_in_channels:
-            from ..models.clip import sdxl_vector_conditioning
-
-            r = self.sd.vae_config.downscale_ratio
-            w_px, h_px = latent.shape[2] * r, latent.shape[1] * r
-            pooled_c = positive[1] if not isinstance(positive, jnp.ndarray) else None
-            pooled_u = negative[1] if not isinstance(negative, jnp.ndarray) else None
-            if pooled_c is None or pooled_u is None:
-                raise ValueError(
-                    "SDXL models need (cond, pooled) conditioning tuples"
-                )
-            y_cond = sdxl_vector_conditioning(pooled_c, w_px, h_px)
-            y_uncond = sdxl_vector_conditioning(pooled_u, w_px, h_px)
+        y_cond, y_uncond = self._adm_vectors(latent, positive, negative)
         sigmas = SMP.sigmas_for(self.sd.model_sampling, scheduler, steps, denoise)
         lo = 0
         if start_step is not None or last_step is not None:
@@ -352,13 +376,19 @@ class SDPipeline:
         def unet_apply(params, x, t, ctx):
             return U.apply_unet(params, x, t, ctx, cfg=unet_cfg, policy=policy)
 
+        def unet_apply_y(params, x, t, ctx, y):
+            return U.apply_unet(params, x, t, ctx, y=y, cfg=unet_cfg,
+                                policy=policy)
+
         from ..diffusion.samplers import make_stepper, run_steps
 
         @jax.jit
         def program(unet_params, x, aux, cond, uncond, cfg_scale, key,
-                    indices, sig_lo, sig_hi):
+                    indices, sig_lo, sig_hi, y_cond=None, y_uncond=None):
             denoise_fn = make_cfg_denoiser(
-                unet_apply, unet_params, cond, uncond, cfg_scale, ms
+                unet_apply_y if cfg_key.has_y else unet_apply,
+                unet_params, cond, uncond, cfg_scale, ms,
+                y_cond=y_cond, y_uncond=y_uncond,
             )
             body = make_stepper(cfg_key.sampler_name, denoise_fn, key)
             x, aux2, _ = run_steps(body, x, aux, indices, (sig_lo, sig_hi))
@@ -384,13 +414,20 @@ class SDPipeline:
         def unet_apply(params, x, t, ctx):
             return U.apply_unet(params, x, t, ctx, cfg=unet_cfg, policy=policy)
 
+        def unet_apply_y(params, x, t, ctx, y):
+            return U.apply_unet(params, x, t, ctx, y=y, cfg=unet_cfg,
+                                policy=policy)
+
         from ..diffusion import samplers as S
 
         def with_denoiser(fn):
             @jax.jit
-            def prog(unet_params, cond, uncond, cfg_scale, carry):
+            def prog(unet_params, cond, uncond, cfg_scale, carry,
+                     y_cond=None, y_uncond=None):
                 denoise_fn = make_cfg_denoiser(
-                    unet_apply, unet_params, cond, uncond, cfg_scale, ms
+                    unet_apply_y if cfg_key.has_y else unet_apply,
+                    unet_params, cond, uncond, cfg_scale, ms,
+                    y_cond=y_cond, y_uncond=y_uncond,
                 )
                 _, run, finish = S.dpm_adaptive_segment(
                     denoise_fn, sigmas, seg_iters=seg_iters
@@ -405,7 +442,8 @@ class SDPipeline:
         return self._programs[key]
 
     def _sample_adaptive_chunked(self, latent, cond, uncond, seed, steps, cfg,
-                                 scheduler, denoise, chunk_size, on_chunk):
+                                 scheduler, denoise, chunk_size, on_chunk,
+                                 y_cond=None, y_uncond=None):
         import math as _math
 
         from ..diffusion import samplers as S
@@ -423,7 +461,7 @@ class SDPipeline:
         )
         cfg_key = SampleConfig(
             steps, "dpm_adaptive", scheduler, denoise, False,
-            cond.shape[1], uncond.shape[1],
+            cond.shape[1], uncond.shape[1], has_y=y_cond is not None,
         )
         # ≥3 UNet evals per solver iteration; chunk_size counts UNet steps
         seg_iters = max(1, chunk_size // 3)
@@ -435,15 +473,19 @@ class SDPipeline:
         carry = init(x)
         max_steps = 200
         args = (self.sd.unet_params, cond, uncond, jnp.float32(cfg))
+        kwargs = (
+            {} if y_cond is None
+            else {"y_cond": y_cond, "y_uncond": y_uncond}
+        )
         while True:
-            carry, done = run_prog(*args, carry)
+            carry, done = run_prog(*args, carry, **kwargs)
             n_iter = int(carry[6])
             if on_chunk is not None:
                 if on_chunk(n_iter, max_steps, np.asarray(carry[0])) is False:
                     break
             if bool(done) or n_iter >= max_steps:
                 break
-        x = finish_prog(*args, carry)
+        x = finish_prog(*args, carry, **kwargs)
         return ms.inverse_noise_scaling(jnp.float32(sigmas[-1]), x)
 
     def sample_latent_chunked(
@@ -464,30 +506,27 @@ class SDPipeline:
         polling between chunks (reference interrupt_flag/preview parity,
         LightDiffusion.py:922/:937; SURVEY §7). dpm_adaptive runs as bounded
         while_loop segments (ref polls inside its adaptive loop too, :1076).
-        Falls back to the monolithic program only for SDXL ADM conditioning."""
+        SDXL ADM vectors thread through every chunk program."""
         from ..diffusion.samplers import make_stepper
 
-        cond_x = positive if isinstance(positive, jnp.ndarray) else positive[0]
-        uncond_x = negative if isinstance(negative, jnp.ndarray) else negative[0]
-        if (sampler_name == "dpm_adaptive"
-                and not self.sd.unet_config.adm_in_channels):
+        cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
+        uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
+        y_cond, y_uncond = self._adm_vectors(latent, positive, negative)
+        if sampler_name == "dpm_adaptive":
             return self._sample_adaptive_chunked(
-                latent, cond_x, uncond_x, seed, steps, cfg, scheduler,
-                denoise, chunk_size, on_chunk,
+                latent, cond, uncond, seed, steps, cfg, scheduler,
+                denoise, chunk_size, on_chunk, y_cond, y_uncond,
             )
         no_stepper = make_stepper(
             sampler_name, lambda x, s: x, jax.random.PRNGKey(0)
         ) is None
-        if no_stepper or self.sd.unet_config.adm_in_channels:
-            # other adaptive samplers / SDXL ADM conditioning: monolithic
+        if no_stepper:
             return self.sample_latent(
                 latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
                 sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,
             )
         import math as _math
 
-        cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
-        uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
         ms = self.sd.model_sampling
         sigmas = SMP.sigmas_for(ms, scheduler, steps, denoise)
         if sigmas.shape[0] == 0:
@@ -503,7 +542,11 @@ class SDPipeline:
         aux = (jnp.zeros_like(x), jnp.float32(1.0))
         cfg_key = SampleConfig(
             steps, sampler_name, scheduler, denoise, False,
-            cond.shape[1], uncond.shape[1],
+            cond.shape[1], uncond.shape[1], has_y=y_cond is not None,
+        )
+        kwargs = (
+            {} if y_cond is None
+            else {"y_cond": y_cond, "y_uncond": y_uncond}
         )
         rng = jax.random.PRNGKey(seed)
         done = 0
@@ -515,7 +558,7 @@ class SDPipeline:
             hi = jnp.asarray(sigmas[done + 1 : done + m + 1])
             x, aux = program(
                 self.sd.unet_params, x, aux, cond, uncond, jnp.float32(cfg),
-                rng, idx, lo, hi,
+                rng, idx, lo, hi, **kwargs,
             )
             done += m
             if on_chunk is not None:
@@ -577,3 +620,44 @@ def txt2img(
             denoise=hires_denoise,
         )
     return np.asarray(pipe.decode(latent))
+
+
+def txt2img_refined(
+    base: SDPipeline,
+    refiner: SDPipeline,
+    prompt: str,
+    negative_prompt: str = "",
+    width: int = 1024,
+    height: int = 1024,
+    steps: int = 25,
+    cfg: float = 7.0,
+    seed: int = 0,
+    sampler_name: str = "euler_ancestral",
+    scheduler: str = "karras",
+    refiner_switch: float = 0.8,
+    batch: int = 1,
+) -> np.ndarray:
+    """Two-stage SDXL base→refiner txt2img (beyond the reference, which is
+    SD1.5-only): the base model denoises window [0..k) of ONE shared
+    schedule, the refiner resumes [k..n] with disable_noise — the
+    KSamplerAdvanced handoff, made exact by the suffix-noise semantics
+    (absolute step / interval noise keys). Both models share the discrete
+    EPS sigma schedule and 0.13025-scaled latent space, so the latent passes
+    straight through."""
+    k = max(1, min(steps - 1, round(steps * refiner_switch)))
+    pos_b = base.encode_text(prompt)
+    neg_b = base.encode_text(negative_prompt)
+    latent = base.empty_latent(width, height, batch)
+    latent = base.sample_latent(
+        latent, pos_b, neg_b, seed=seed, steps=steps, cfg=cfg,
+        sampler_name=sampler_name, scheduler=scheduler,
+        start_step=0, last_step=k,
+    )
+    pos_r = refiner.encode_text(prompt)
+    neg_r = refiner.encode_text(negative_prompt)
+    latent = refiner.sample_latent(
+        latent, pos_r, neg_r, seed=seed, steps=steps, cfg=cfg,
+        sampler_name=sampler_name, scheduler=scheduler,
+        start_step=k, disable_noise=True,
+    )
+    return np.asarray(refiner.decode(latent))
