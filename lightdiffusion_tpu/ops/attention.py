@@ -43,7 +43,8 @@ def attention_xla(q, k, v, scale: float | None = None):
 
 
 # --------------------------------------------------------------- Pallas -----
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_steps):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+                  *, scale, kv_steps):
     kv_idx = pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -83,15 +84,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
         l_final = l_ref[:, :1]
         l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        # logsumexp per query row — the residual the fused backward needs.
+        # Stored 8-row broadcast: TPU blocks need sublane-multiple shapes,
+        # so the lse array is (B, H, 8, S) and row 0 is the payload.
+        m_fin = m_ref[:, 0]
+        l_fin = jnp.maximum(l_ref[:, 0], 1e-30)
+        lse = m_fin + jnp.log(l_fin)
+        lse_ref[0, 0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[2:])
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def flash_attention(q, k, v, scale=None, block_q: int = 1024, block_k: int = 1024):
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "return_lse")
+)
+def flash_attention(q, k, v, scale=None, block_q: int = 1024,
+                    block_k: int = 1024, return_lse: bool = False):
     """Pallas flash attention forward (non-causal, no mask).
 
     q: (B,H,S,D), k/v: (B,H,T,D). D is padded to a multiple of 128 inside;
     S must be divisible by block_q, T by block_k (callers guarantee this for
     SD shapes; the dispatcher falls back to XLA otherwise).
+    ``return_lse``: also return the per-row logsumexp (B,H,S) — the residual
+    consumed by the fused Pallas backward.
     """
     b, h, sq, d = q.shape
     t = k.shape[2]
@@ -129,9 +142,12 @@ def flash_attention(q, k, v, scale=None, block_q: int = 1024, block_k: int = 102
     kv_steps = t // block_k
     grid = (b, h, sq // block_q, kv_steps)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale_val, kv_steps=kv_steps),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq, d_pad), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 8, sq), jnp.float32),
+        ],
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -150,11 +166,18 @@ def flash_attention(q, k, v, scale=None, block_q: int = 1024, block_k: int = 102
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d_pad),
-            lambda b, h, i, j: (b, h, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d_pad),
+                lambda b, h, i, j: (b, h, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 8, block_q),
+                lambda b, h, i, j: (b, h, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),  # running max
             pltpu.VMEM((block_q, LANES), jnp.float32),  # running sum
@@ -166,7 +189,197 @@ def flash_attention(q, k, v, scale=None, block_q: int = 1024, block_k: int = 102
     )(q, k, v)
     if d_pad != d:
         out = out[..., :d]
+    if return_lse:
+        return out, lse[:, :, 0]  # (B, H, S)
     return out
+
+
+# ------------------------------------------------------ Pallas backward -----
+# FlashAttention-2 backward: never materializes the S×T score matrix.
+# Residuals: (q, k, v, o, lse); delta_i = rowsum(dO_i · O_i) precomputed.
+# Two kernels: dK/dV sweeps q-blocks innermost (accumulating per kv-block),
+# dQ sweeps kv-blocks innermost — both recompute P = exp(S − lse) blockwise.
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc, *, scale, q_steps):
+    q_idx = pl.program_id(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]   # (block_q, d)
+    k = k_ref[0, 0]   # (block_k, d)
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]  # (block_q, d)
+    lse = lse_ref[0, 0][0]      # row 0 of the 8-row broadcast, (block_q,)
+    delta = delta_ref[0, 0][0]  # (block_q,)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                        # (block_q, block_k)
+    p = jnp.exp(s - lse[:, None])
+    # dV += P^T dO
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dP = dO V^T ; dS = P ∘ (dP − delta) · scale
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta[:, None]) * scale
+    # dK += dS^T Q
+    dk_acc[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(q_idx == q_steps - 1)
+    def _store():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, dq_acc, *, scale, kv_steps):
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0][0]
+    delta = delta_ref[0, 0][0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse[:, None])
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta[:, None]) * scale
+    dq_acc[...] += jax.lax.dot(
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kv_idx == kv_steps - 1)
+    def _store():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_attention_bwd(q, k, v, o, lse, do, scale=None,
+                        block_q: int = 512, block_k: int = 512):
+    """Fused Pallas backward: (q,k,v,o,lse,dO) → (dQ, dK, dV) without ever
+    materializing S×T (the XLA-vjp path does, and OOMs at S=16384)."""
+    b, h, sq, d = q.shape
+    t = k.shape[2]
+    scale_val = float(scale) if scale is not None else 1.0 / math.sqrt(d)
+    block_q = min(block_q, sq)
+    block_k = min(block_k, t)
+    d_pad = ((d + LANES - 1) // LANES) * LANES
+
+    itemsize = jnp.dtype(q.dtype).itemsize
+
+    def vmem_bytes(bq, bk):
+        tiles = (2 * bq * d_pad + 2 * bk * d_pad) * itemsize * 2
+        scores = 3 * bq * bk * 4
+        scratch = 2 * max(bq, bk) * d_pad * 4
+        return tiles + scores + scratch
+
+    while vmem_bytes(block_q, block_k) > 11 * 1024 * 1024 and (
+        block_q > 128 or block_k > 128
+    ):
+        if block_k >= block_q and block_k > 128:
+            block_k //= 2
+        else:
+            block_q //= 2
+
+    if d_pad != d:
+        pad = [(0, 0)] * 3 + [(0, d_pad - d)]
+        q, k, v, do = (jnp.pad(x, pad) for x in (q, k, v, do))
+
+    delta = jnp.einsum(
+        "bhsd,bhsd->bhs", do.astype(jnp.float32), o.astype(jnp.float32)
+    ) if d_pad == d else jnp.einsum(
+        "bhsd,bhsd->bhs", do[..., :d].astype(jnp.float32), o.astype(jnp.float32)
+    )
+    # 8-row broadcast layout for sublane-aligned TPU blocks (see fwd kernel)
+    lse8 = jnp.broadcast_to(lse[:, :, None, :], (b, h, 8, sq))
+    delta8 = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, sq))
+
+    q_steps, kv_steps = sq // block_q, t // block_k
+
+    def q_spec(fn):
+        return pl.BlockSpec((1, 1, block_q, d_pad), fn, memory_space=pltpu.VMEM)
+
+    def k_spec(fn):
+        return pl.BlockSpec((1, 1, block_k, d_pad), fn, memory_space=pltpu.VMEM)
+
+    def row_spec(fn):
+        return pl.BlockSpec((1, 1, 8, block_q), fn, memory_space=pltpu.VMEM)
+
+    # ---- dK/dV: grid (b, h, kv_block, q_step) ----
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale_val,
+                          q_steps=q_steps),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b, h, t, d_pad), v.dtype),
+        ],
+        grid=(b, h, kv_steps, q_steps),
+        in_specs=[
+            q_spec(lambda b, h, j, i: (b, h, i, 0)),
+            k_spec(lambda b, h, j, i: (b, h, j, 0)),
+            k_spec(lambda b, h, j, i: (b, h, j, 0)),
+            q_spec(lambda b, h, j, i: (b, h, i, 0)),
+            row_spec(lambda b, h, j, i: (b, h, 0, i)),
+            row_spec(lambda b, h, j, i: (b, h, 0, i)),
+        ],
+        out_specs=[
+            k_spec(lambda b, h, j, i: (b, h, j, 0)),
+            k_spec(lambda b, h, j, i: (b, h, j, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, do, lse8, delta8)
+
+    # ---- dQ: grid (b, h, q_block, kv_step) ----
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale_val,
+                          kv_steps=kv_steps),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d_pad), q.dtype),
+        grid=(b, h, q_steps, kv_steps),
+        in_specs=[
+            q_spec(lambda b, h, i, j: (b, h, i, 0)),
+            k_spec(lambda b, h, i, j: (b, h, j, 0)),
+            k_spec(lambda b, h, i, j: (b, h, j, 0)),
+            q_spec(lambda b, h, i, j: (b, h, i, 0)),
+            row_spec(lambda b, h, i, j: (b, h, 0, i)),
+            row_spec(lambda b, h, i, j: (b, h, 0, i)),
+        ],
+        out_specs=q_spec(lambda b, h, i, j: (b, h, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v, do, lse8, delta8)
+
+    if d_pad != d:
+        dq, dk, dv = dq[..., :d], dk[..., :d], dv[..., :d]
+    return dq, dk, dv
 
 
 # --------------------------------------------------- differentiable wrap ----
@@ -176,16 +389,13 @@ def _flash_diff(q, k, v, scale):
 
 
 def _flash_diff_fwd(q, k, v, scale):
-    return flash_attention(q, k, v, scale=scale), (q, k, v)
+    o, lse = flash_attention(q, k, v, scale=scale, return_lse=True)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_diff_bwd(scale, res, g):
-    # backward recomputes through the (memory-heavier) XLA formulation —
-    # exact gradients; the Pallas kernel stays forward-only. Training at SD
-    # sizes fits comfortably; a fused backward kernel is future work.
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: attention_xla(q, k, v, scale=scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    return flash_attention_bwd(q, k, v, o, lse, g, scale=scale)
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)

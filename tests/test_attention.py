@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 from lightdiffusion_tpu.ops import attention as A
+from jax.experimental import pallas as pl
 
 
 def _rand(key, shape, dtype=jnp.float32):
@@ -96,3 +97,51 @@ def test_flash_dispatch_grad_matches_xla(monkeypatch):
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("d", [128, 40])
+def test_flash_backward_kernel_parity(monkeypatch, d):
+    """Fused Pallas backward (dQ/dK/dV, interpret mode) vs XLA vjp —
+    including head_dim padding (d=40 → lanes 128)."""
+    import functools
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+
+    rng = np.random.RandomState(3)
+    b, h, s, t = 1, 2, 256, 256
+    q = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, t, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, t, d), jnp.float32)
+    g = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+
+    o, lse = A.flash_attention(q, k, v, return_lse=True,
+                               block_q=128, block_k=128)
+    dq, dk, dv = A.flash_attention_bwd(q, k, v, o, lse, g,
+                                       block_q=128, block_k=128)
+
+    _, vjp = jax.vjp(lambda q, k, v: A.attention_xla(q, k, v), q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_flash_lse_matches_xla(monkeypatch):
+    import functools
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 1, 256, 128), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 1, 256, 128), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 1, 256, 128), jnp.float32)
+    _, lse = A.flash_attention(q, k, v, return_lse=True,
+                               block_q=128, block_k=128)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(128)
+    ref = jax.scipy.special.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
