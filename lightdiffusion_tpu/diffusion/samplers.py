@@ -32,10 +32,13 @@ KSAMPLER_NAMES = [
     "heun",
     "dpm_2",
     "dpm_2_ancestral",
+    "dpmpp_sde",
     "dpmpp_2m",
     "dpmpp_2m_sde",
+    "dpmpp_3m_sde",
     "dpm_adaptive",
     "ddim",
+    "lcm",
 ]
 
 
@@ -177,6 +180,132 @@ def sample_dpmpp_2m_sde(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
         body, (x, jnp.zeros_like(x), jnp.float32(1.0)),
         (jnp.arange(n), sigmas[:-1], sigmas[1:]),
     )
+    return x
+
+
+def sample_dpmpp_sde(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
+                     r=1.0 / 2.0, callback=None, **_):
+    """DPM++ SDE (single-step, midpoint r=1/2; k-diffusion family — the
+    ecosystem sampler the reference's dpmpp_2m_sde descends from). Interval-
+    keyed noise (Brownian contract)."""
+
+    def sigma_fn(t):
+        return jnp.exp(-t)
+
+    def t_fn(s):
+        return -jnp.log(s)
+
+    def body(x, args):
+        i, sigma, sigma_next = args
+        denoised = denoise_fn(x, sigma)
+        # euler fallback for the final σ→0 step
+        d = to_d(x, sigma, denoised)
+        x_euler = x + d * (sigma_next - sigma)
+
+        t, t_next = t_fn(sigma), t_fn(jnp.maximum(sigma_next, 1e-10))
+        h = t_next - t
+        s = t + h * r
+        fac = 1.0 / (2.0 * r)
+
+        # step 1 (to the midpoint, ancestral split + noise)
+        sd1, su1 = get_ancestral_step(sigma_fn(t), sigma_fn(s), eta)
+        s_ = t_fn(jnp.maximum(sd1, 1e-10))
+        x_2 = (sigma_fn(s_) / sigma_fn(t)) * x - jnp.expm1(t - s_) * denoised
+        n1 = jax.random.normal(
+            interval_noise_key(key, sigma_fn(t), sigma_fn(s)), x.shape, x.dtype
+        )
+        x_2 = x_2 + n1 * (s_noise * su1)
+        denoised_2 = denoise_fn(x_2, sigma_fn(s))
+
+        # step 2 (to σ_next)
+        sd2, su2 = get_ancestral_step(sigma_fn(t), sigma_fn(t_next), eta)
+        t_next_ = t_fn(jnp.maximum(sd2, 1e-10))
+        denoised_d = (1 - fac) * denoised + fac * denoised_2
+        x_new = (
+            (sigma_fn(t_next_) / sigma_fn(t)) * x
+            - jnp.expm1(t - t_next_) * denoised_d
+        )
+        n2 = jax.random.normal(
+            interval_noise_key(key, sigma_fn(t), sigma_fn(t_next)),
+            x.shape, x.dtype,
+        )
+        x_new = x_new + n2 * (s_noise * su2)
+        x = jnp.where(sigma_next == 0, x_euler, x_new)
+        _maybe_callback(callback, i, x, denoised)
+        return x, None
+
+    n = sigmas.shape[0] - 1
+    x, _ = jax.lax.scan(body, x, (jnp.arange(n), sigmas[:-1], sigmas[1:]))
+    return x
+
+
+def sample_dpmpp_3m_sde(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
+                        callback=None, **_):
+    """DPM++ 3M SDE (3rd-order multistep; k-diffusion family, beyond the
+    reference's three samplers). Interval-keyed noise."""
+
+    def body(carry, args):
+        x, d1m, d2m, h1, h2 = carry
+        i, sigma, sigma_next = args
+        denoised = denoise_fn(x, sigma)
+
+        t = -jnp.log(sigma)
+        s = -jnp.log(jnp.maximum(sigma_next, 1e-10))
+        h = s - t
+        h_eta = h * (eta + 1.0)
+
+        x_new = jnp.exp(-h_eta) * x + (-jnp.expm1(-h_eta)) * denoised
+
+        # 2nd-order correction (i >= 1)
+        r0 = h1 / h
+        d1_0 = (denoised - d1m) / jnp.maximum(r0, 1e-10)
+        phi_2 = jnp.expm1(-h_eta) / h_eta + 1.0
+        x_2 = x_new + phi_2 * d1_0
+
+        # 3rd-order correction (i >= 2)
+        r1 = h2 / h
+        d1_1 = (d1m - d2m) / jnp.maximum(r1, 1e-10)
+        d1 = d1_0 + (d1_0 - d1_1) * r0 / jnp.maximum(r0 + r1, 1e-10)
+        d2 = (d1_0 - d1_1) / jnp.maximum(r0 + r1, 1e-10)
+        phi_3 = phi_2 / h_eta - 0.5
+        x_3 = x_new + phi_2 * d1 - phi_3 * d2
+
+        x_new = jnp.where(i >= 2, x_3, jnp.where(i >= 1, x_2, x_new))
+        if eta:
+            noise = jax.random.normal(
+                interval_noise_key(key, sigma, sigma_next), x.shape, x.dtype
+            )
+            x_new = x_new + noise * (
+                sigma_next * jnp.sqrt(-jnp.expm1(-2 * h * eta)) * s_noise
+            )
+        x = jnp.where(sigma_next == 0, denoised, x_new)
+        _maybe_callback(callback, i, x, denoised)
+        return (x, denoised, d1m, h, h1), None
+
+    n = sigmas.shape[0] - 1
+    zeros = jnp.zeros_like(x)
+    (x, _, _, _, _), _ = jax.lax.scan(
+        body, (x, zeros, zeros, jnp.float32(1.0), jnp.float32(1.0)),
+        (jnp.arange(n), sigmas[:-1], sigmas[1:]),
+    )
+    return x
+
+
+def sample_lcm(denoise_fn, x, sigmas, key, callback=None, step_offset=0, **_):
+    """LCM sampler (latent consistency models): x ← denoised + σ_next·ε."""
+
+    def body(x, args):
+        i, sigma, sigma_next = args
+        denoised = denoise_fn(x, sigma)
+        noise = jax.random.normal(
+            step_noise_key(key, i + step_offset), x.shape, x.dtype
+        )
+        x = jnp.where(sigma_next > 0, denoised + sigma_next * noise, denoised)
+        _maybe_callback(callback, i, x, denoised)
+        return x, None
+
+    n = sigmas.shape[0] - 1
+    x, _ = jax.lax.scan(body, x, (jnp.arange(n), sigmas[:-1], sigmas[1:]))
     return x
 
 
@@ -474,10 +603,13 @@ SAMPLERS = {
     "heun": sample_heun,
     "dpm_2": sample_dpm_2,
     "dpm_2_ancestral": sample_dpm_2_ancestral,
+    "dpmpp_sde": sample_dpmpp_sde,
     "dpmpp_2m": sample_dpmpp_2m,
     "dpmpp_2m_sde": sample_dpmpp_2m_sde,
+    "dpmpp_3m_sde": sample_dpmpp_3m_sde,
     "dpm_adaptive": sample_dpm_adaptive,
     "ddim": sample_ddim,
+    "lcm": sample_lcm,
 }
 
 

@@ -24,6 +24,8 @@ SCHEDULER_NAMES = [
     "sgm_uniform",
     "simple",
     "ddim_uniform",
+    "ays",       # Align Your Steps (SD1.x table)
+    "ays_sdxl",  # Align Your Steps (SDXL table)
 ]
 
 
@@ -102,6 +104,38 @@ def ddim_uniform_scheduler(model_sampling, steps: int) -> jnp.ndarray:
     return append_zero(jnp.asarray(sigs.copy(), dtype=jnp.float32))
 
 
+# Align Your Steps (Sabour et al., NVIDIA 2024, arXiv 2404.14507): optimized
+# 10-step schedules minimizing discretization error of the SDE solve; other
+# step counts via log-linear interpolation (the paper's prescription). A
+# reduced-step option beyond the reference's schedulers: AYS-10 ≈ karras-20
+# quality at half the UNet evaluations.
+AYS_SIGMAS = {
+    "sd15": [14.615, 6.475, 3.861, 2.697, 1.886, 1.396, 0.963, 0.652, 0.399,
+             0.152, 0.029],
+    "sdxl": [14.615, 6.315, 3.771, 2.181, 1.342, 0.862, 0.555, 0.380, 0.234,
+             0.113, 0.029],
+}
+
+
+def _loglinear_interp(t_steps: np.ndarray, num_steps: int) -> np.ndarray:
+    """Log-linear interpolation of a (descending) sigma table."""
+    xs = np.linspace(0.0, 1.0, len(t_steps))
+    ys = np.log(t_steps[::-1])
+    new_xs = np.linspace(0.0, 1.0, num_steps)
+    return np.exp(np.interp(new_xs, xs, ys))[::-1].copy()
+
+
+def get_sigmas_ays(n: int, model_type: str = "sd15") -> jnp.ndarray:
+    """(n+1,) sigmas: the table (interpolated to n+1 points when n≠10) with
+    the terminal entry zeroed — the schedule therefore lands exactly at 0."""
+    sig = np.asarray(AYS_SIGMAS[model_type], np.float64)
+    if n + 1 != len(sig):
+        sig = _loglinear_interp(sig, n + 1)
+    sig = sig.copy()
+    sig[-1] = 0.0
+    return jnp.asarray(sig, jnp.float32)
+
+
 def calculate_sigmas(model_sampling, scheduler_name: str, steps: int) -> jnp.ndarray:
     """Dispatch by scheduler name → (steps+1,) float32 descending sigmas."""
     if scheduler_name == "karras":
@@ -120,6 +154,10 @@ def calculate_sigmas(model_sampling, scheduler_name: str, steps: int) -> jnp.nda
         return simple_scheduler(model_sampling, steps)
     if scheduler_name == "ddim_uniform":
         return ddim_uniform_scheduler(model_sampling, steps)
+    if scheduler_name == "ays":
+        return get_sigmas_ays(steps, "sd15")
+    if scheduler_name == "ays_sdxl":
+        return get_sigmas_ays(steps, "sdxl")
     raise ValueError(f"unknown scheduler {scheduler_name!r}")
 
 

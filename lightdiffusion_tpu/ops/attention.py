@@ -43,8 +43,10 @@ def attention_xla(q, k, v, scale: float | None = None):
 
 
 # --------------------------------------------------------------- Pallas -----
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
-                  *, scale, kv_steps):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_steps,
+                  with_lse):
+    lse_ref = rest[0] if with_lse else None
+    m_ref, l_ref, acc_ref = rest[-3:]
     kv_idx = pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -84,13 +86,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
         l_final = l_ref[:, :1]
         l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
-        # logsumexp per query row — the residual the fused backward needs.
-        # Stored 8-row broadcast: TPU blocks need sublane-multiple shapes,
-        # so the lse array is (B, H, 8, S) and row 0 is the payload.
-        m_fin = m_ref[:, 0]
-        l_fin = jnp.maximum(l_ref[:, 0], 1e-30)
-        lse = m_fin + jnp.log(l_fin)
-        lse_ref[0, 0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[2:])
+        if with_lse:
+            # logsumexp per query row — the residual the fused backward
+            # needs. Stored 8-row broadcast: TPU blocks need sublane-
+            # multiple shapes, so lse is (B, H, 8, S), row 0 = payload.
+            m_fin = m_ref[:, 0]
+            l_fin = jnp.maximum(l_ref[:, 0], 1e-30)
+            lse = m_fin + jnp.log(l_fin)
+            lse_ref[0, 0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[2:])
 
 
 @functools.partial(
@@ -142,12 +145,28 @@ def flash_attention(q, k, v, scale=None, block_q: int = 1024,
     kv_steps = t // block_k
     grid = (b, h, sq // block_q, kv_steps)
 
-    out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale_val, kv_steps=kv_steps),
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b, h, 8, sq), jnp.float32),
-        ],
+    out_shape = [jax.ShapeDtypeStruct((b, h, sq, d_pad), q.dtype)]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, d_pad),
+            lambda b, h, i, j: (b, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if return_lse:
+        out_shape.append(jax.ShapeDtypeStruct((b, h, 8, sq), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 8, block_q),
+                lambda b, h, i, j: (b, h, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
+    res = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale_val, kv_steps=kv_steps,
+                          with_lse=return_lse),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -166,18 +185,7 @@ def flash_attention(q, k, v, scale=None, block_q: int = 1024,
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, d_pad),
-                lambda b, h, i, j: (b, h, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, 8, block_q),
-                lambda b, h, i, j: (b, h, 0, i),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),  # running max
             pltpu.VMEM((block_q, LANES), jnp.float32),  # running sum
@@ -187,10 +195,11 @@ def flash_attention(q, k, v, scale=None, block_q: int = 1024,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
     )(q, k, v)
+    out = res[0]
     if d_pad != d:
         out = out[..., :d]
     if return_lse:
-        return out, lse[:, :, 0]  # (B, H, S)
+        return out, res[1][:, :, 0]  # (B, H, S)
     return out
 
 

@@ -88,6 +88,55 @@ def _redraw_tile(pipe, canvas, mask, positive, negative, tile_w, tile_h,
     paste_masked(canvas, np.clip(back, 0, 1), x1, y1, np.clip(crop_mask, 0, 1))
 
 
+def _redraw_tiles_batched(pipe, canvas, masks, positive, negative, tile_w,
+                          tile_h, padding, mask_blur, steps, cfg, denoise,
+                          sampler_name, scheduler, seed, tile_batch=4):
+    """Redraw several independent tiles in ONE batched sampling program —
+    the TPU-native move (SURVEY §5.7: tiles shard as batch; the reference
+    processes tiles strictly sequentially, :7945). Used for Chess waves,
+    whose same-parity tiles don't overlap. Sub-batches are padded by
+    repetition to `tile_batch` so one compiled program serves every wave."""
+    h, w = canvas.shape[:2]
+    sw, sh = _round8(tile_w), _round8(tile_h)
+    jobs = []
+    for m in masks:
+        if m.max() <= 0:
+            continue
+        m = gaussian_blur(m, mask_blur)
+        region = get_crop_region((m > 0.01).astype(np.float32), padding)
+        (x1, y1, x2, y2), _ = expand_crop(
+            region, w, h, _round8(tile_w + 2 * padding),
+            _round8(tile_h + 2 * padding),
+        )
+        jobs.append((x1, y1, x2, y2, m))
+    for lo in range(0, len(jobs), tile_batch):
+        sub = jobs[lo:lo + tile_batch]
+        n_real = len(sub)
+        while len(sub) < min(tile_batch, len(jobs)):  # pad by repetition
+            sub.append(sub[-1])
+        tiles = np.stack([
+            np.asarray(resize(
+                jnp.asarray(canvas[y1:y2, x1:x2][None]), sw, sh, "lanczos"
+            ))[0]
+            for (x1, y1, x2, y2, _) in sub
+        ])
+        latent = pipe.encode_image(jnp.clip(jnp.asarray(tiles), 0, 1),
+                                   seed=seed)
+        sampled = pipe.sample_latent(
+            latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
+            sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,
+        )
+        decoded = np.asarray(pipe.decode(sampled), np.float32)
+        for i in range(n_real):
+            x1, y1, x2, y2, m = sub[i]
+            ch_, cw_ = y2 - y1, x2 - x1
+            back = np.asarray(
+                resize(jnp.asarray(decoded[i:i + 1]), cw_, ch_, "lanczos")
+            )[0]
+            paste_masked(canvas, np.clip(back, 0, 1), x1, y1,
+                         np.clip(m[y1:y2, x1:x2], 0, 1))
+
+
 def ultimate_sd_upscale(
     pipe,
     images: np.ndarray,  # (B, H, W, 3) in [0,1]
@@ -111,9 +160,13 @@ def ultimate_sd_upscale(
     esrgan=None,
     seed: int = 0,
     mode_type: str = "Linear",
+    batch_tiles: bool = True,
 ) -> np.ndarray:
     """Full USDU (defaults mirror the reference GUI img2img call
-    :10392-10417)."""
+    :10392-10417). ``batch_tiles``: in Chess mode, redraw each parity wave
+    as ONE batched sampling program (same-parity tiles are independent) —
+    saturates the MXU like batch>1 txt2img; set False for strictly
+    sequential reference-ordered processing."""
     positive = pipe.encode_text(prompt)
     negative_c = pipe.encode_text(negative)
     b, h, w, _ = images.shape
@@ -136,7 +189,21 @@ def ultimate_sd_upscale(
 
         # ---- redraw pass: Linear (ref :7945-7964) or Chess (alternating
         # parity so neighbours are redrawn in a second wave) ----
-        if mode_type == "Chess":
+        if mode_type == "Chess" and batch_tiles:
+            for parity in (0, 1):
+                wave = [
+                    rect_mask(xi * tile_width, yi * tile_height,
+                              (xi + 1) * tile_width, (yi + 1) * tile_height)
+                    for yi in range(rows) for xi in range(cols)
+                    if (xi + yi) % 2 == parity
+                ]
+                _redraw_tiles_batched(
+                    pipe, canvas, wave, positive, negative_c, tile_width,
+                    tile_height, padding, mask_blur, steps, cfg, denoise,
+                    sampler_name, scheduler, seed,
+                )
+            tile_order = []
+        elif mode_type == "Chess":
             tile_order = [
                 (yi, xi) for yi in range(rows) for xi in range(cols)
                 if (xi + yi) % 2 == 0

@@ -96,3 +96,34 @@ def test_all_schedulers_run():
         arr = np.asarray(sig)
         assert arr[-1] == 0.0
         assert np.all(np.diff(arr[:-1]) < 0), name
+
+
+def test_ays_schedule():
+    """Align Your Steps (arXiv 2404.14507): published 10-step tables verbatim,
+    log-linear interpolation elsewhere, strictly descending + terminal zero."""
+    from lightdiffusion_tpu.diffusion.schedules import (
+        AYS_SIGMAS,
+        get_sigmas_ays,
+    )
+
+    s10 = np.asarray(get_sigmas_ays(10, "sd15"))
+    np.testing.assert_allclose(s10[:-1], AYS_SIGMAS["sd15"][:-1], rtol=1e-6)
+    assert s10[-1] == 0.0 and s10.shape == (11,)
+    for n in (8, 14, 20):
+        s = np.asarray(get_sigmas_ays(n, "sdxl"))
+        assert s.shape == (n + 1,)
+        assert (np.diff(s[:-1]) < 0).all()
+        assert s[0] == np.float32(14.615) and s[-1] == 0.0
+
+
+def test_ays_dispatch():
+    from lightdiffusion_tpu.diffusion.parameterization import make_discrete_sampling
+    from lightdiffusion_tpu.diffusion.schedules import (
+        SCHEDULER_NAMES,
+        calculate_sigmas,
+    )
+
+    ms = make_discrete_sampling()
+    assert "ays" in SCHEDULER_NAMES and "ays_sdxl" in SCHEDULER_NAMES
+    s = np.asarray(calculate_sigmas(ms, "ays", 10))
+    assert s.shape == (12,) or s.shape == (11,)

@@ -141,3 +141,21 @@ def test_half_tile_gradient_clamp_offset():
     ys = slice(max(y1, 0), min(y1 + span, 16))
     g = grad[ys.start - y1 : ys.start - y1 + ys.stop - ys.start]
     np.testing.assert_array_equal(g, grad[3:])
+
+
+def test_usdu_chess_batched_tiles():
+    """Chess waves redraw as batched sampling programs (TPU-native tile
+    parallelism); output stays finite/in-range and covers every tile."""
+    pipe = _tiny_pipe()
+    img = np.random.RandomState(2).rand(1, 64, 32, 3).astype(np.float32)
+    out = ultimate_sd_upscale(
+        pipe, img, "x", "", upscale_by=2.0, steps=2, denoise=0.9,
+        tile_width=32, tile_height=32, mask_blur=2, padding=4,
+        seam_fix_mode="None", mode_type="Chess", batch_tiles=True, seed=0,
+    )
+    assert out.shape == (1, 128, 64, 3)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0 and out.max() <= 1
+    # at denoise 0.9 every region must have actually been redrawn
+    up = np.asarray(upscale_image(img, 64, 128))
+    assert np.abs(out - up).max() > 1e-3
