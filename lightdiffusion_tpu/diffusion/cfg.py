@@ -93,7 +93,12 @@ def make_cfg_denoiser(
             jnp.concatenate([sigma_b, sigma_b]), eps2.astype(jnp.float32), den2_in
         )
         d_cond, d_uncond = den2[:b], den2[b:]
-        return d_uncond + (d_cond - d_uncond) * cfg_scale
+        # per-sample guidance scales ((B,)-shaped, the serving frontend's
+        # cross-request batching) broadcast over the spatial dims
+        scale = jnp.asarray(cfg_scale, jnp.float32)
+        if scale.ndim:
+            scale = scale.reshape(scale.shape + (1,) * (x.ndim - scale.ndim))
+        return d_uncond + (d_cond - d_uncond) * scale
 
     return denoise
 

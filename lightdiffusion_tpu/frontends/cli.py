@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--deepcache", type=int, default=0, metavar="N",
                    help="refresh deep UNet blocks every N steps (faster, "
                         "slight quality trade; 0 = off)")
+    t.add_argument("--int8", action="store_true",
+                   help="quantize the UNet to W8A8 after LoRA merge "
+                        "(int8 MXU path, ops/quant.py)")
     t.add_argument("--refiner", default=None, metavar="CKPT",
                    help="SDXL refiner checkpoint: two-stage base→refiner "
                         "sampling on one shared schedule")
@@ -85,6 +88,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     common(w)
     w.add_argument("--batch", type=int, default=1)
+
+    s = sub.add_parser(
+        "serve",
+        help="HTTP serving frontend: POST /txt2img with cross-request "
+             "batching into one compiled program (frontends/server.py)",
+    )
+    common(s)
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--max-batch", type=int, default=4)
+    s.add_argument("--max-wait-ms", type=float, default=25.0)
+    s.add_argument("--int8", action="store_true",
+                   help="quantize the UNet to W8A8 (int8 MXU path)")
 
     d = sub.add_parser(
         "download",
@@ -136,6 +152,18 @@ def main(argv=None):
         warmup(pipe, batch=args.batch)
         print(f"warmup done in {time.time()-t0:.1f}s", file=sys.stderr)
         return
+    if args.command == "serve":
+        from .server import serve
+
+        pipe = load_default_pipeline(
+            checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
+            clip_skip=args.clip_skip, random_init=args.random_init,
+        )
+        if args.int8:
+            pipe.quantize_unet()
+        serve(pipe, host=args.host, port=args.port,
+              max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+        return
     if args.command == "pipeline":
         pipeline(
             args.prompt, args.width, args.height, args.number,
@@ -147,6 +175,8 @@ def main(argv=None):
             checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
             clip_skip=args.clip_skip, random_init=args.random_init,
         )
+        if args.int8:
+            pipe.quantize_unet()
         if args.refiner:
             from ..loader.checkpoint import load_checkpoint
             from ..pipelines.sd import SDPipeline, txt2img_refined

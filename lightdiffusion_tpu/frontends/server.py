@@ -1,0 +1,302 @@
+"""HTTP serving frontend with cross-request batching.
+
+The reference's only "serving" surface is the Discord-bot headless
+``pipeline(prompt, w, h)`` (/root/reference/LightDiffusion.py:10001) — one
+request at a time, no concurrency story. This is the TPU-native production
+path instead: a stdlib HTTP server feeding a single device worker that
+**batches compatible concurrent requests into one compiled program call**
+(batch is the throughput lever on the MXU — bench.py saturates at 4).
+
+Design:
+  - one worker thread owns the TPU (one process/one stream discipline);
+    HTTP threads only enqueue and wait on a per-request event
+  - requests group by static compile key (width, height, steps, sampler,
+    scheduler); seeds/prompts/guidance are dynamic: initial noise is
+    prepared per request and concatenated, prompts encode to per-sample
+    (B, L, C) conds (repeat-padded to the lcm chunk length, ref :648-663),
+    and ``cfg`` rides as a (B,) array (per-sample guidance in the CFG
+    combine)
+  - batching waits at most ``max_wait_ms`` for co-travellers, then runs
+    whatever is there (padding-free: programs are cached per batch size
+    ≤ max_batch)
+
+Endpoints:
+  POST /txt2img  {"prompt": ..., "negative_prompt", "width", "height",
+                  "steps", "cfg", "seed", "sampler", "scheduler",
+                  "format": "png"|"json"} → image/png bytes or JSON meta
+  GET  /healthz  → {"ok": true, ...}
+  GET  /stats    → batching counters (requests, batches, batched_requests)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_ALLOWED = {
+    "prompt", "negative_prompt", "width", "height", "steps", "cfg", "seed",
+    "sampler", "scheduler", "format",
+}
+
+
+class _Request:
+    __slots__ = ("params", "event", "image", "error")
+
+    def __init__(self, params):
+        self.params = params
+        self.event = threading.Event()
+        self.image = None
+        self.error = None
+
+    def group_key(self):
+        p = self.params
+        return (p["width"], p["height"], p["steps"], p["sampler"],
+                p["scheduler"])
+
+
+class GenerationServer:
+    """Batching worker around one SDPipeline. Thread-safe submit()."""
+
+    def __init__(self, pipe, max_batch: int = 4, max_wait_ms: float = 25.0):
+        self.pipe = pipe
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._queue: queue.Queue[_Request] = queue.Queue()
+        self._stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self._stats_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- public ---
+    def submit(self, params: dict, timeout: float = 600.0) -> np.ndarray:
+        """Enqueue one generation; blocks until its image is ready."""
+        req = _Request(self._normalize(params))
+        with self._stats_lock:
+            self._stats["requests"] += 1
+        self._queue.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if req.error is not None:
+            raise req.error
+        return req.image
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            return dict(self._stats)
+
+    def shutdown(self):
+        self._stop.set()
+        self._queue.put(None)  # wake the worker
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------ worker ----
+    @staticmethod
+    def _normalize(params: dict) -> dict:
+        unknown = set(params) - _ALLOWED
+        if unknown:
+            raise ValueError(f"unknown fields: {sorted(unknown)}")
+        p = {
+            "prompt": str(params.get("prompt", "")),
+            "negative_prompt": str(params.get("negative_prompt", "")),
+            "width": int(params.get("width", 512)),
+            "height": int(params.get("height", 512)),
+            "steps": int(params.get("steps", 20)),
+            "cfg": float(params.get("cfg", 7.0)),
+            "seed": int(params.get("seed", 0)),
+            "sampler": str(params.get("sampler", "euler_ancestral")),
+            "scheduler": str(params.get("scheduler", "karras")),
+            "format": str(params.get("format", "png")),
+        }
+        if not (64 <= p["width"] <= 2048 and 64 <= p["height"] <= 2048):
+            raise ValueError("width/height out of range [64, 2048]")
+        if not (1 <= p["steps"] <= 200):
+            raise ValueError("steps out of range [1, 200]")
+        return p
+
+    def _gather(self) -> list[_Request]:
+        """One head-of-line request + compatible co-travellers (same static
+        compile key) arriving within max_wait_ms, up to max_batch."""
+        head = self._queue.get()
+        if head is None:
+            return []
+        group = [head]
+        deadline = time.monotonic() + self.max_wait_ms / 1e3
+        leftovers = []
+        while len(group) < self.max_batch:
+            budget = deadline - time.monotonic()
+            if budget <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=budget)
+            except queue.Empty:
+                break
+            if nxt is None:
+                leftovers.append(None)
+                break
+            if nxt.group_key() == head.group_key():
+                group.append(nxt)
+            else:
+                leftovers.append(nxt)
+        for r in leftovers:
+            self._queue.put(r)
+        return group
+
+    def _run(self):
+        import jax.numpy as jnp
+
+        from ..diffusion.cfg import common_context_length, pad_context_to
+        from ..diffusion.noise import prepare_noise
+
+        while not self._stop.is_set():
+            group = self._gather()
+            if not group:
+                continue
+            try:
+                pipe = self.pipe
+                b = len(group)
+                p0 = group[0].params
+                lat1 = pipe.empty_latent(p0["width"], p0["height"], 1)
+                latent = jnp.concatenate([lat1] * b, axis=0)
+                noise = jnp.concatenate(
+                    [
+                        prepare_noise(lat1.astype(jnp.float32),
+                                      r.params["seed"])
+                        for r in group
+                    ],
+                    axis=0,
+                )
+                conds = [pipe.encode_text(r.params["prompt"]) for r in group]
+                unconds = [
+                    pipe.encode_text(r.params["negative_prompt"])
+                    for r in group
+                ]
+
+                def stack(pairs):
+                    arrs = [c if not isinstance(c, tuple) else c[0]
+                            for c in pairs]
+                    target = common_context_length(
+                        *[a.shape[1] for a in arrs]
+                    )
+                    return jnp.concatenate(
+                        [pad_context_to(a, target) for a in arrs], axis=0
+                    )
+
+                cond = stack(conds)
+                uncond = stack(unconds)
+                cfg = np.asarray([r.params["cfg"] for r in group], np.float32)
+                out = pipe.sample_latent(
+                    latent, cond, uncond,
+                    seed=p0["seed"], steps=p0["steps"], cfg=cfg,
+                    sampler_name=p0["sampler"], scheduler=p0["scheduler"],
+                    noise=noise,
+                )
+                images = np.asarray(pipe.decode(out))
+                with self._stats_lock:
+                    self._stats["batches"] += 1
+                    if b > 1:
+                        self._stats["batched_requests"] += b
+                for i, r in enumerate(group):
+                    r.image = images[i]
+                    r.event.set()
+            except Exception as e:  # deliver the failure to every waiter
+                log.exception("generation batch failed")
+                for r in group:
+                    r.error = e
+                    r.event.set()
+
+
+# ------------------------------------------------------------------ HTTP ----
+def _png_bytes(image: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.clip(image, 0.0, 1.0) * 255).astype(np.uint8)
+    ).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "lightdiffusion-tpu/1.0"
+
+    def log_message(self, fmt, *args):
+        log.debug("http: " + fmt, *args)
+
+    def _json(self, code: int, obj: dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        gen: GenerationServer = self.server.generation  # type: ignore
+        if self.path == "/healthz":
+            self._json(200, {"ok": True})
+        elif self.path == "/stats":
+            self._json(200, gen.stats())
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        gen: GenerationServer = self.server.generation  # type: ignore
+        if self.path != "/txt2img":
+            self._json(404, {"error": "not found"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            params = json.loads(self.rfile.read(n) or b"{}")
+            image = gen.submit(params)
+        except (ValueError, KeyError) as e:
+            self._json(400, {"error": str(e)})
+            return
+        except Exception as e:
+            self._json(500, {"error": str(e)})
+            return
+        if params.get("format") == "json":
+            self._json(200, {
+                "shape": list(image.shape),
+                "mean": float(image.mean()),
+            })
+            return
+        body = _png_bytes(image)
+        self.send_response(200)
+        self.send_header("Content-Type", "image/png")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def make_server(pipe, host: str = "127.0.0.1", port: int = 0,
+                max_batch: int = 4,
+                max_wait_ms: float = 25.0) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; ``server.generation`` holds
+    the batching worker. port=0 picks a free port (tests)."""
+    httpd = ThreadingHTTPServer((host, port), _Handler)
+    httpd.generation = GenerationServer(  # type: ignore[attr-defined]
+        pipe, max_batch=max_batch, max_wait_ms=max_wait_ms
+    )
+    return httpd
+
+
+def serve(pipe, host: str = "0.0.0.0", port: int = 8000,
+          max_batch: int = 4, max_wait_ms: float = 25.0):
+    """Blocking serve loop (CLI `serve` subcommand)."""
+    httpd = make_server(pipe, host, port, max_batch, max_wait_ms)
+    log.info("serving on http://%s:%d (max_batch=%d)", host, port, max_batch)
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.generation.shutdown()  # type: ignore[attr-defined]
+        httpd.server_close()

@@ -168,7 +168,8 @@ def spatial_transformer_apply(p, x, context, num_heads, policy, force=None):
     b, h, w, c = x.shape
     residual = x
     x = L.group_norm(p["norm"], x, eps=1e-6, policy=policy)
-    linear_proj = p["proj_in"]["weight"].ndim == 2
+    proj_w = p["proj_in"].get("weight", p["proj_in"].get("weight_q8"))
+    linear_proj = proj_w.ndim == 2
     if linear_proj:
         x = x.reshape(b, h * w, c)
         x = L.linear(p["proj_in"], x, policy)

@@ -45,6 +45,10 @@ DEFAULT_POLICY = BF16
 
 # ---------------------------------------------------------------- linear ----
 def linear(params: dict, x: jnp.ndarray, policy: Policy = DEFAULT_POLICY):
+    if "weight_q8" in params:  # W8A8 path (ops/quant.py), opt-in at load
+        from .quant import linear_q8
+
+        return linear_q8(params, x, compute_dtype=policy.compute_dtype)
     w = params["weight"].astype(policy.compute_dtype)
     y = jnp.dot(x.astype(policy.compute_dtype), w)
     b = params.get("bias")
@@ -71,6 +75,11 @@ def conv2d(
     policy: Policy = DEFAULT_POLICY,
 ):
     """NHWC conv with HWIO kernel. padding: 'SAME' | 'VALID' | explicit list."""
+    if "weight_q8" in params:  # W8A8 path (ops/quant.py), opt-in at load
+        from .quant import conv2d_q8
+
+        return conv2d_q8(params, x, stride=stride, padding=padding,
+                         compute_dtype=policy.compute_dtype)
     w = params["weight"].astype(policy.compute_dtype)
     y = jax.lax.conv_general_dilated(
         x.astype(policy.compute_dtype),

@@ -47,9 +47,14 @@ def _spec_for(path, leaf) -> P:
             parent = n
             break
     leafname = names[-1]
-    if parent and leaf.ndim == 2 and leafname == "weight":
+    if parent and leaf.ndim == 2 and leafname in ("weight", "weight_q8"):
         return P(None, "tp") if parent in _COL_PARALLEL else P("tp", None)
-    if parent and leaf.ndim == 1 and leafname == "bias" and parent in _COL_PARALLEL:
+    if (
+        parent
+        and leaf.ndim == 1
+        and leafname in ("bias", "w_scale")
+        and parent in _COL_PARALLEL
+    ):
         return P("tp")
     return P()
 

@@ -1,0 +1,161 @@
+"""HTTP serving frontend (frontends/server.py): batching + endpoints.
+
+Beyond the reference, whose only headless surface is the single-request
+Discord ``pipeline`` (/root/reference/LightDiffusion.py:10001).
+"""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from lightdiffusion_tpu.frontends.server import GenerationServer, make_server
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    from lightdiffusion_tpu.diffusion.parameterization import (
+        make_discrete_sampling,
+    )
+    from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
+    from lightdiffusion_tpu.models import clip as C
+    from lightdiffusion_tpu.models import unet as U
+    from lightdiffusion_tpu.models import vae as V
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+
+    ucfg = U.UNetConfig(
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
+        transformer_depth=(1, 0), context_dim=64, num_heads=2,
+        attn_force="xla",
+    )
+    ccfg = C.ClipConfig(hidden_size=64, num_layers=2, num_heads=2,
+                        intermediate_size=128)
+    vcfg = V.VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    sd = StableDiffusion(
+        unet_params=U.init_unet_params(k[0], ucfg), unet_config=ucfg,
+        clip_params=C.init_clip_params(k[1], ccfg), clip_config=ccfg,
+        vae_params=V.init_vae_params(k[2], vcfg), vae_config=vcfg,
+        model_sampling=make_discrete_sampling("eps"),
+    )
+    return SDPipeline(sd, policy=L.FP32, clip_skip=-2)
+
+
+def test_generation_server_batches_compatible_requests(pipe):
+    gen = GenerationServer(pipe, max_batch=4, max_wait_ms=300.0)
+    try:
+        results = {}
+
+        def fire(i, prompt, cfg):
+            results[i] = gen.submit({
+                "prompt": prompt, "width": 64, "height": 64, "steps": 2,
+                "seed": i, "cfg": cfg,
+            })
+
+        threads = [
+            threading.Thread(target=fire, args=(i, p, c))
+            for i, (p, c) in enumerate(
+                [("a cat", 7.0), ("a dog", 5.0), ("a bird", 9.0)]
+            )
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert len(results) == 3
+        for img in results.values():
+            assert img.shape == (64, 64, 3)
+            assert np.isfinite(img).all()
+        # different prompts/seeds/cfg must produce different images
+        assert np.abs(results[0] - results[1]).max() > 1e-6
+        st = gen.stats()
+        assert st["requests"] == 3
+        # with a 300ms window the three concurrent requests share batches
+        assert st["batches"] < 3
+        assert st["batched_requests"] >= 2
+    finally:
+        gen.shutdown()
+
+
+def test_generation_server_groups_by_compile_key(pipe):
+    gen = GenerationServer(pipe, max_batch=4, max_wait_ms=200.0)
+    try:
+        out = {}
+
+        def fire(name, w):
+            out[name] = gen.submit(
+                {"prompt": "x", "width": w, "height": 64, "steps": 2}
+            )
+
+        t1 = threading.Thread(target=fire, args=("a", 64))
+        t2 = threading.Thread(target=fire, args=("b", 96))
+        t1.start(); t2.start()
+        t1.join(timeout=300); t2.join(timeout=300)
+        assert out["a"].shape == (64, 64, 3)
+        assert out["b"].shape == (64, 96, 3)
+        assert gen.stats()["batches"] == 2  # incompatible → separate programs
+    finally:
+        gen.shutdown()
+
+
+def test_generation_server_validates(pipe):
+    gen = GenerationServer(pipe)
+    try:
+        with pytest.raises(ValueError):
+            gen.submit({"prompt": "x", "width": 17})
+        with pytest.raises(ValueError):
+            gen.submit({"prompt": "x", "bogus_field": 1})
+    finally:
+        gen.shutdown()
+
+
+def test_http_endpoints(pipe):
+    httpd = make_server(pipe, port=0, max_wait_ms=5.0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+
+        body = json.dumps({
+            "prompt": "a cat", "width": 64, "height": 64, "steps": 2,
+        }).encode()
+        req = urllib.request.Request(
+            base + "/txt2img", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            png = r.read()
+            assert r.headers["Content-Type"] == "image/png"
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+        body = json.dumps({"prompt": "a cat", "width": 64, "height": 64,
+                           "steps": 2, "format": "json"}).encode()
+        req = urllib.request.Request(base + "/txt2img", data=body)
+        with urllib.request.urlopen(req, timeout=300) as r:
+            meta = json.loads(r.read())
+        assert meta["shape"] == [64, 64, 3]
+
+        # bad request → 400
+        req = urllib.request.Request(
+            base + "/txt2img", data=json.dumps({"steps": 999}).encode()
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            st = json.loads(r.read())
+        assert st["requests"] >= 2
+    finally:
+        httpd.generation.shutdown()
+        httpd.shutdown()
+        httpd.server_close()
