@@ -99,11 +99,16 @@ class SDPipeline:
         re-specializes on the new tree structure automatically. Opt-in:
         ~1.3-1.5× step rate on the int8 MXU at a small quality delta (absent
         in the reference, whose precision floor is fp16, ref :6418-6423)."""
+        import functools
+
         from ..ops.quant import count_quantized, quantize_unet_params
 
-        self.sd.unet_params = quantize_unet_params(
-            self.sd.unet_params, quantize_convs=quantize_convs
-        )
+        # one jitted program (the eager walk would dispatch thousands of
+        # tiny round/clip kernels over the device relay)
+        self.sd.unet_params = jax.jit(
+            functools.partial(quantize_unet_params,
+                              quantize_convs=quantize_convs)
+        )(self.sd.unet_params)
         if self.mesh is not None:
             from ..parallel import mesh as M
 
