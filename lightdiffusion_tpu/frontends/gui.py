@@ -37,6 +37,7 @@ class GenerationController:
         self.interrupt_flag = False
         self.current_checkpoint = None
         self.current_lora = None
+        self.current_int8 = False
         self._taesd = self._try_load_taesd()
         # single-flight: a second Generate while one runs would contend for
         # the chip (the reference lets threads race, SURVEY §5.2)
@@ -59,12 +60,16 @@ class GenerationController:
         self.interrupt_flag = True
 
     def prep(self, checkpoint: str | None, lora: str | None = None,
-             random_init: bool = False):
-        """(Re)load when the selection changed (ref _prep :10455)."""
+             random_init: bool = False, int8: bool = False):
+        """(Re)load when the selection changed (ref _prep :10455). ``int8``
+        fills the reference's Stable-Fast accelerator toggle slot
+        (:10184-10220) — here jit is always on, so the opt-in accelerator
+        is the W8A8 quantized UNet (ops/quant.py)."""
         if (
             self.pipe is not None
             and checkpoint == self.current_checkpoint
             and lora == self.current_lora
+            and int8 == self.current_int8
         ):
             return self.pipe
         from .headless import load_default_pipeline
@@ -74,8 +79,11 @@ class GenerationController:
             checkpoint=checkpoint, loras=loras, clip_skip=-2,
             random_init=random_init,
         )
+        if int8:
+            self.pipe.quantize_unet()
         self.current_checkpoint = checkpoint
         self.current_lora = lora
+        self.current_int8 = int8
         return self.pipe
 
     def generate(
@@ -95,6 +103,7 @@ class GenerationController:
         preview_cb=None,  # fn(image_np) for live previews
         progress_cb=None,  # fn(done, total)
         random_init: bool = False,
+        int8: bool = False,
     ) -> np.ndarray | None:
         from ..models.taesd import latent_to_rgb_preview
 
@@ -105,19 +114,20 @@ class GenerationController:
             return self._generate_locked(
                 prompt, neg, width, height, cfg, seed, steps, sampler_name,
                 scheduler, hires_fix, adetailer, enhance, preview_cb,
-                progress_cb, random_init,
+                progress_cb, random_init, int8,
             )
         finally:
             self._run_lock.release()
 
     def _generate_locked(self, prompt, neg, width, height, cfg, seed, steps,
                          sampler_name, scheduler, hires_fix, adetailer,
-                         enhance, preview_cb, progress_cb, random_init):
+                         enhance, preview_cb, progress_cb, random_init,
+                         int8=False):
         from ..models.taesd import latent_to_rgb_preview
 
         self.interrupt_flag = False  # the reference forgets this (:10794)
         pipe = self.prep(self.current_checkpoint, self.current_lora,
-                         random_init=random_init)
+                         random_init=random_init, int8=int8)
         if enhance:
             from .enhancer import enhance_prompt
 
@@ -214,8 +224,10 @@ def main():  # pragma: no cover - needs a display
     adet_var = tk.BooleanVar()
     enh_var = tk.BooleanVar()
     prev_var = tk.BooleanVar(value=True)
+    int8_var = tk.BooleanVar()  # the ref's Stable-Fast accel slot (:10184)
     for label, var in [("Hires Fix", hires_var), ("Adetailer", adet_var),
-                       ("Prompt enhancer", enh_var), ("Previewer", prev_var)]:
+                       ("Prompt enhancer", enh_var), ("Previewer", prev_var),
+                       ("Int8 accelerator", int8_var)]:
         tk.Checkbutton(side, text=label, variable=var).pack(anchor="w")
 
     display = tk.Label(root, bg="#202020")
@@ -263,6 +275,7 @@ def main():  # pragma: no cover - needs a display
                     0, root.title, f"LightDiffusion-TPU — {d}/{t}"
                 ),
                 random_init=ckpt_var.get() == "random-init",
+                int8=int8_var.get(),
             )
             if imgs is not None:
                 from ..nodes import SaveImage

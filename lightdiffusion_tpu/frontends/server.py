@@ -10,6 +10,11 @@ path instead: a stdlib HTTP server feeding a single device worker that
 Design:
   - one worker thread owns the TPU (one process/one stream discipline);
     HTTP threads only enqueue and wait on a per-request event
+  - the worker is PIPELINED: it dispatches a batch's compiled programs
+    (async in JAX) and hands the un-synced device arrays to a drainer
+    thread for host transfer + delivery, so batch N+1's programs queue on
+    the device while batch N drains — the same overlap bench.py measures
+    (~40% over sync-per-batch). In-flight depth is bounded to cap HBM
   - requests group by static compile key (width, height, steps, sampler,
     scheduler); seeds/prompts/guidance are dynamic: initial noise is
     prepared per request and concatenated, prompts encode to per-sample
@@ -66,16 +71,22 @@ class _Request:
 class GenerationServer:
     """Batching worker around one SDPipeline. Thread-safe submit()."""
 
-    def __init__(self, pipe, max_batch: int = 4, max_wait_ms: float = 25.0):
+    def __init__(self, pipe, max_batch: int = 4, max_wait_ms: float = 25.0,
+                 max_in_flight: int = 2):
         self.pipe = pipe
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self._queue: queue.Queue[_Request] = queue.Queue()
+        # (group, device_images) awaiting host transfer; bounded put() is the
+        # backpressure that caps device-side in-flight batches
+        self._pending: queue.Queue = queue.Queue(maxsize=max_in_flight)
         self._stats = {"requests": 0, "batches": 0, "batched_requests": 0}
         self._stats_lock = threading.Lock()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+        self._drainer = threading.Thread(target=self._drain, daemon=True)
+        self._drainer.start()
 
     # ------------------------------------------------------------- public ---
     def submit(self, params: dict, timeout: float = 600.0) -> np.ndarray:
@@ -98,6 +109,8 @@ class GenerationServer:
         self._stop.set()
         self._queue.put(None)  # wake the worker
         self._worker.join(timeout=5)
+        self._pending.put(None)  # wake the drainer
+        self._drainer.join(timeout=5)
 
     # ------------------------------------------------------------ worker ----
     @staticmethod
@@ -200,16 +213,34 @@ class GenerationServer:
                     sampler_name=p0["sampler"], scheduler=p0["scheduler"],
                     noise=noise,
                 )
-                images = np.asarray(pipe.decode(out))
+                # hand the UN-synCED device array to the drainer: the next
+                # batch's programs dispatch while this one transfers
+                device_images = pipe.decode(out)
                 with self._stats_lock:
                     self._stats["batches"] += 1
                     if b > 1:
                         self._stats["batched_requests"] += b
+                self._pending.put((group, device_images))
+            except Exception as e:  # deliver the failure to every waiter
+                log.exception("generation batch failed")
+                for r in group:
+                    r.error = e
+                    r.event.set()
+
+    def _drain(self):
+        """Host-transfer + delivery thread (overlaps device compute)."""
+        while True:
+            item = self._pending.get()
+            if item is None:
+                return
+            group, device_images = item
+            try:
+                images = np.asarray(device_images)
                 for i, r in enumerate(group):
                     r.image = images[i]
                     r.event.set()
-            except Exception as e:  # deliver the failure to every waiter
-                log.exception("generation batch failed")
+            except Exception as e:
+                log.exception("image transfer failed")
                 for r in group:
                     r.error = e
                     r.event.set()
@@ -279,21 +310,24 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(pipe, host: str = "127.0.0.1", port: int = 0,
-                max_batch: int = 4,
-                max_wait_ms: float = 25.0) -> ThreadingHTTPServer:
+                max_batch: int = 4, max_wait_ms: float = 25.0,
+                max_in_flight: int = 2) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``server.generation`` holds
     the batching worker. port=0 picks a free port (tests)."""
     httpd = ThreadingHTTPServer((host, port), _Handler)
     httpd.generation = GenerationServer(  # type: ignore[attr-defined]
-        pipe, max_batch=max_batch, max_wait_ms=max_wait_ms
+        pipe, max_batch=max_batch, max_wait_ms=max_wait_ms,
+        max_in_flight=max_in_flight,
     )
     return httpd
 
 
 def serve(pipe, host: str = "0.0.0.0", port: int = 8000,
-          max_batch: int = 4, max_wait_ms: float = 25.0):
+          max_batch: int = 4, max_wait_ms: float = 25.0,
+          max_in_flight: int = 2):
     """Blocking serve loop (CLI `serve` subcommand)."""
-    httpd = make_server(pipe, host, port, max_batch, max_wait_ms)
+    httpd = make_server(pipe, host, port, max_batch, max_wait_ms,
+                        max_in_flight)
     log.info("serving on http://%s:%d (max_batch=%d)", host, port, max_batch)
     try:
         httpd.serve_forever()

@@ -141,6 +141,41 @@ def test_generation_controller_headless(monkeypatch):
     assert out is None
 
 
+def test_generation_controller_int8_toggle(monkeypatch):
+    """The Int8-accelerator checkbox (the ref's Stable-Fast slot, :10184)
+    quantizes on prep and un-quantizes by reloading when toggled off."""
+    import jax
+    from tests.test_pipeline import TINY_UNET, TINY_VAE, TINY_CLIP
+    from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
+    from lightdiffusion_tpu.models import unet as U, vae as V, clip as C
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.ops.quant import count_quantized
+    from lightdiffusion_tpu.diffusion.parameterization import make_discrete_sampling
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+    from lightdiffusion_tpu.frontends import headless
+    from lightdiffusion_tpu.frontends.gui import GenerationController
+
+    def tiny_pipe(**kwargs):
+        k = jax.random.split(jax.random.PRNGKey(0), 3)
+        sd = StableDiffusion(
+            unet_params=U.init_unet_params(k[0], TINY_UNET),
+            unet_config=TINY_UNET,
+            clip_params=C.init_clip_params(k[1], TINY_CLIP),
+            clip_config=TINY_CLIP,
+            vae_params=V.init_vae_params(k[2], TINY_VAE), vae_config=TINY_VAE,
+            model_sampling=make_discrete_sampling("eps"),
+        )
+        return SDPipeline(sd, policy=L.FP32)
+
+    monkeypatch.setattr(headless, "load_default_pipeline", tiny_pipe)
+    ctl = GenerationController()
+    pipe = ctl.prep("ck", None, int8=True)
+    assert count_quantized(pipe.sd.unet_params)[0] > 0
+    assert ctl.prep("ck", None, int8=True) is pipe  # cached
+    pipe2 = ctl.prep("ck", None, int8=False)  # toggle off → fresh fp pipe
+    assert count_quantized(pipe2.sd.unet_params)[0] == 0
+
+
 def test_ksampler_advanced_step_windows():
     """Two-phase sampling via step windows equals... runs and stays finite;
     window [0,0] is a no-op."""

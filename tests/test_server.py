@@ -102,6 +102,34 @@ def test_generation_server_groups_by_compile_key(pipe):
         gen.shutdown()
 
 
+def test_generation_server_pipelined_stream(pipe):
+    """A stream of requests flows through the dispatch→drain pipeline with
+    every response delivered to the right waiter (images differ by seed)."""
+    gen = GenerationServer(pipe, max_batch=2, max_wait_ms=5.0, max_in_flight=2)
+    try:
+        out = {}
+
+        def fire(i):
+            out[i] = gen.submit({"prompt": "a cat", "width": 64, "height": 64,
+                                 "steps": 2, "seed": i})
+
+        threads = [threading.Thread(target=fire, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert len(out) == 6
+        for i, img in out.items():
+            assert img.shape == (64, 64, 3) and np.isfinite(img).all()
+        # distinct seeds ⇒ distinct images (right response to right waiter)
+        assert np.abs(out[0] - out[5]).max() > 1e-6
+        st = gen.stats()
+        assert st["requests"] == 6
+        assert st["batches"] >= 3  # max_batch=2
+    finally:
+        gen.shutdown()
+
+
 def test_generation_server_validates(pipe):
     gen = GenerationServer(pipe)
     try:
