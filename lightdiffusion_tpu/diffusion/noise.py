@@ -34,7 +34,25 @@ def step_noise_key(seed_or_key, step) -> jax.Array:
     return jax.random.fold_in(key, step)
 
 
+def keys_for(seed) -> jax.Array:
+    """int → a (2,) PRNG key; a sequence of ints → (B, 2) PER-SAMPLE keys.
+
+    Per-sample keys make each batch element's sampler noise a function of its
+    own seed only — a request co-batched with arbitrary neighbours (the
+    serving frontend) reproduces exactly the image it gets in any other batch
+    composition."""
+    if isinstance(seed, (int,)):
+        return jax.random.PRNGKey(seed)
+    return jnp.stack([jax.random.PRNGKey(int(s)) for s in seed])
+
+
 def step_noise(key, step, shape, dtype=jnp.float32) -> jnp.ndarray:
+    """Per-step sampler noise. ``key``: (2,) single key drawing the whole
+    (B, ...) batch at once, or (B, 2) per-sample keys (keys_for) drawing each
+    sample independently of its batch position."""
+    if key.ndim == 2:
+        ks = jax.vmap(lambda k: jax.random.fold_in(k, step))(key)
+        return jax.vmap(lambda k: jax.random.normal(k, shape[1:], dtype))(ks)
     return jax.random.normal(step_noise_key(key, step), shape, dtype)
 
 
@@ -56,6 +74,12 @@ def interval_noise_key(key, sigma_from, sigma_to) -> jax.Array:
 
 
 def interval_noise(key, sigma_from, sigma_to, shape, dtype=jnp.float32):
+    """Interval-keyed SDE noise; (B, 2) per-sample keys as in step_noise."""
+    if key.ndim == 2:
+        ks = jax.vmap(
+            lambda k: interval_noise_key(k, sigma_from, sigma_to)
+        )(key)
+        return jax.vmap(lambda k: jax.random.normal(k, shape[1:], dtype))(ks)
     return jax.random.normal(
         interval_noise_key(key, sigma_from, sigma_to), shape, dtype
     )

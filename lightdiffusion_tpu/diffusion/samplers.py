@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .noise import interval_noise_key, step_noise_key
+from .noise import interval_noise, step_noise
 
 KSAMPLER_NAMES = [
     "euler",
@@ -93,9 +93,7 @@ def sample_euler_ancestral(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
         sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next, eta)
         d = to_d(x, sigma, denoised)
         x = x + d * (sigma_down - sigma)
-        noise = jax.random.normal(
-            step_noise_key(key, i + step_offset), x.shape, x.dtype
-        )
+        noise = step_noise(key, i + step_offset, x.shape, x.dtype)
         x = jnp.where(sigma_next > 0, x + noise * (s_noise * sigma_up), x)
         _maybe_callback(callback, i, x, denoised)
         return x, None
@@ -165,9 +163,7 @@ def sample_dpmpp_2m_sde(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
             denoised - old_denoised
         )
         x_new = jnp.where(i > 0, x_2, x_new)
-        noise = jax.random.normal(
-            interval_noise_key(key, sigma, sigma_next), x.shape, x.dtype
-        )
+        noise = interval_noise(key, sigma, sigma_next, x.shape, x.dtype)
         x_new = x_new + noise * (
             sigma_next * jnp.sqrt(-jnp.expm1(-2 * eta_h)) * s_noise
         )
@@ -211,9 +207,7 @@ def sample_dpmpp_sde(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
         sd1, su1 = get_ancestral_step(sigma_fn(t), sigma_fn(s), eta)
         s_ = t_fn(jnp.maximum(sd1, 1e-10))
         x_2 = (sigma_fn(s_) / sigma_fn(t)) * x - jnp.expm1(t - s_) * denoised
-        n1 = jax.random.normal(
-            interval_noise_key(key, sigma_fn(t), sigma_fn(s)), x.shape, x.dtype
-        )
+        n1 = interval_noise(key, sigma_fn(t), sigma_fn(s), x.shape, x.dtype)
         x_2 = x_2 + n1 * (s_noise * su1)
         denoised_2 = denoise_fn(x_2, sigma_fn(s))
 
@@ -225,9 +219,8 @@ def sample_dpmpp_sde(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
             (sigma_fn(t_next_) / sigma_fn(t)) * x
             - jnp.expm1(t - t_next_) * denoised_d
         )
-        n2 = jax.random.normal(
-            interval_noise_key(key, sigma_fn(t), sigma_fn(t_next)),
-            x.shape, x.dtype,
+        n2 = interval_noise(
+            key, sigma_fn(t), sigma_fn(t_next), x.shape, x.dtype
         )
         x_new = x_new + n2 * (s_noise * su2)
         x = jnp.where(sigma_next == 0, x_euler, x_new)
@@ -272,9 +265,7 @@ def sample_dpmpp_3m_sde(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
 
         x_new = jnp.where(i >= 2, x_3, jnp.where(i >= 1, x_2, x_new))
         if eta:
-            noise = jax.random.normal(
-                interval_noise_key(key, sigma, sigma_next), x.shape, x.dtype
-            )
+            noise = interval_noise(key, sigma, sigma_next, x.shape, x.dtype)
             x_new = x_new + noise * (
                 sigma_next * jnp.sqrt(-jnp.expm1(-2 * h * eta)) * s_noise
             )
@@ -297,9 +288,7 @@ def sample_lcm(denoise_fn, x, sigmas, key, callback=None, step_offset=0, **_):
     def body(x, args):
         i, sigma, sigma_next = args
         denoised = denoise_fn(x, sigma)
-        noise = jax.random.normal(
-            step_noise_key(key, i + step_offset), x.shape, x.dtype
-        )
+        noise = step_noise(key, i + step_offset, x.shape, x.dtype)
         x = jnp.where(sigma_next > 0, denoised + sigma_next * noise, denoised)
         _maybe_callback(callback, i, x, denoised)
         return x, None
@@ -377,9 +366,7 @@ def sample_dpm_2_ancestral(denoise_fn, x, sigmas, key, eta=1.0, s_noise=1.0,
         denoised_2 = denoise_fn(x_mid, sigma_mid)
         d_2 = to_d(x_mid, sigma_mid, denoised_2)
         x_2 = x + d_2 * (sigma_down - sigma)
-        noise = jax.random.normal(
-            step_noise_key(key, i + step_offset), x.shape, x.dtype
-        )
+        noise = step_noise(key, i + step_offset, x.shape, x.dtype)
         x_2 = jnp.where(sigma_next > 0, x_2 + noise * (s_noise * sigma_up), x_2)
         x = jnp.where(sigma_next == 0, denoised, x_2)
         _maybe_callback(callback, i, x, denoised)
@@ -443,14 +430,10 @@ def make_dpm_adaptive_loop(
     b3 = dcoeff / pid_order
 
     if noise_sampler is None and eta:
-        from .noise import interval_noise_key
-
         base_key = key if key is not None else jax.random.PRNGKey(0)
 
         def noise_sampler(sigma_from, sigma_to, shape, dtype):
-            return jax.random.normal(
-                interval_noise_key(base_key, sigma_from, sigma_to), shape, dtype
-            )
+            return interval_noise(base_key, sigma_from, sigma_to, shape, dtype)
 
     def sigma(t):
         return jnp.exp(-t)
@@ -649,9 +632,7 @@ def _euler_body(denoise_fn, key, eta, s_noise, ancestral, step_offset=0):
         d = to_d(x, sigma, denoised)
         x = x + d * (sigma_down - sigma)
         if ancestral:
-            noise = jax.random.normal(
-                step_noise_key(key, i + step_offset), x.shape, x.dtype
-            )
+            noise = step_noise(key, i + step_offset, x.shape, x.dtype)
             x = jnp.where(sigma_next > 0, x + noise * (s_noise * sigma_up), x)
         return (x, denoised, h_last, state), None
 
@@ -696,9 +677,7 @@ def _dpmpp_2m_sde_body(denoise_fn, key, eta, s_noise):
             denoised - old_denoised
         )
         x_new = jnp.where(i > 0, x_2, x_new)
-        noise = jax.random.normal(
-            interval_noise_key(key, sigma, sigma_next), x.shape, x.dtype
-        )
+        noise = interval_noise(key, sigma, sigma_next, x.shape, x.dtype)
         x_new = x_new + noise * (
             sigma_next * jnp.sqrt(-jnp.expm1(-2 * eta_h)) * s_noise
         )

@@ -13,8 +13,8 @@ Design:
   - the worker is PIPELINED: it dispatches a batch's compiled programs
     (async in JAX) and hands the un-synced device arrays to a drainer
     thread for host transfer + delivery, so batch N+1's programs queue on
-    the device while batch N drains — the same overlap bench.py measures
-    (~40% over sync-per-batch). In-flight depth is bounded to cap HBM
+    the device while batch N drains — the dispatch/compute overlap bench.py's
+    pipelined mode measures. In-flight depth is bounded to cap HBM
   - requests group by static compile key (width, height, steps, sampler,
     scheduler); seeds/prompts/guidance are dynamic: initial noise is
     prepared per request and concatenated, prompts encode to per-sample
@@ -24,6 +24,12 @@ Design:
   - batching waits at most ``max_wait_ms`` for co-travellers, then runs
     whatever is there (padding-free: programs are cached per batch size
     ≤ max_batch)
+  - seed reproducibility: initial AND per-step sampler noise are keyed per
+    request (noise.keys_for), so a request's noise is identical in any
+    batch composition — exact at fp32 (tests); under bf16 the compiled
+    program differs per batch SHAPE, so images agree to bf16 accumulation
+    tolerance across batch sizes (measured ~1% of the different-seed scale
+    on-chip), like any shape-specializing batching server
 
 Endpoints:
   POST /txt2img  {"prompt": ..., "negative_prompt", "width", "height",
@@ -83,6 +89,7 @@ class GenerationServer:
         self._stats = {"requests": 0, "batches": 0, "batched_requests": 0}
         self._stats_lock = threading.Lock()
         self._stop = threading.Event()
+        self._backlog: list[_Request] = []  # worker-thread only
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
         self._drainer = threading.Thread(target=self._drain, daemon=True)
@@ -111,10 +118,26 @@ class GenerationServer:
         self._worker.join(timeout=5)
         self._pending.put(None)  # wake the drainer
         self._drainer.join(timeout=5)
+        # fail any requests still queued/deferred so their waiters unblock
+        # immediately instead of hitting the submit() timeout
+        leftovers = list(self._backlog)
+        self._backlog = []
+        while True:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None:
+                leftovers.append(r)
+        for r in leftovers:
+            r.error = RuntimeError("server shutting down")
+            r.event.set()
 
     # ------------------------------------------------------------ worker ----
     @staticmethod
     def _normalize(params: dict) -> dict:
+        if not isinstance(params, dict):
+            raise ValueError("request body must be a JSON object")
         unknown = set(params) - _ALLOWED
         if unknown:
             raise ValueError(f"unknown fields: {sorted(unknown)}")
@@ -138,13 +161,28 @@ class GenerationServer:
 
     def _gather(self) -> list[_Request]:
         """One head-of-line request + compatible co-travellers (same static
-        compile key) arriving within max_wait_ms, up to max_batch."""
-        head = self._queue.get()
-        if head is None:
-            return []
+        compile key) arriving within max_wait_ms, up to max_batch.
+
+        Deferred (incompatible) requests park in ``_backlog`` and the OLDEST
+        deferred request becomes the next head — a minority compile key is
+        served on the very next batch instead of starving behind a sustained
+        majority stream."""
+        if self._backlog:
+            head = self._backlog.pop(0)
+        else:
+            head = self._queue.get()
+            if head is None:
+                return []
         group = [head]
+        # absorb compatible backlog first (oldest-first)
+        rest = []
+        for r in self._backlog:
+            if len(group) < self.max_batch and r.group_key() == head.group_key():
+                group.append(r)
+            else:
+                rest.append(r)
+        self._backlog = rest
         deadline = time.monotonic() + self.max_wait_ms / 1e3
-        leftovers = []
         while len(group) < self.max_batch:
             budget = deadline - time.monotonic()
             if budget <= 0:
@@ -154,21 +192,17 @@ class GenerationServer:
             except queue.Empty:
                 break
             if nxt is None:
-                leftovers.append(None)
                 break
             if nxt.group_key() == head.group_key():
                 group.append(nxt)
             else:
-                leftovers.append(nxt)
-        for r in leftovers:
-            self._queue.put(r)
+                self._backlog.append(nxt)
         return group
 
     def _run(self):
         import jax.numpy as jnp
 
         from ..diffusion.cfg import common_context_length, pad_context_to
-        from ..diffusion.noise import prepare_noise
 
         while not self._stop.is_set():
             group = self._gather()
@@ -178,16 +212,7 @@ class GenerationServer:
                 pipe = self.pipe
                 b = len(group)
                 p0 = group[0].params
-                lat1 = pipe.empty_latent(p0["width"], p0["height"], 1)
-                latent = jnp.concatenate([lat1] * b, axis=0)
-                noise = jnp.concatenate(
-                    [
-                        prepare_noise(lat1.astype(jnp.float32),
-                                      r.params["seed"])
-                        for r in group
-                    ],
-                    axis=0,
-                )
+                latent = pipe.empty_latent(p0["width"], p0["height"], b)
                 conds = [pipe.encode_text(r.params["prompt"]) for r in group]
                 unconds = [
                     pipe.encode_text(r.params["negative_prompt"])
@@ -195,23 +220,31 @@ class GenerationServer:
                 ]
 
                 def stack(pairs):
-                    arrs = [c if not isinstance(c, tuple) else c[0]
-                            for c in pairs]
+                    """(1,L,C) conds → (B,lcm,C); pooled halves → (B,D) so
+                    SDXL ADM conditioning works per request."""
+                    arrs = [c[0] if isinstance(c, tuple) else c for c in pairs]
                     target = common_context_length(
                         *[a.shape[1] for a in arrs]
                     )
-                    return jnp.concatenate(
+                    cond = jnp.concatenate(
                         [pad_context_to(a, target) for a in arrs], axis=0
                     )
+                    pooled = [
+                        c[1] if isinstance(c, tuple) else None for c in pairs
+                    ]
+                    if all(p is not None for p in pooled):
+                        return cond, jnp.concatenate(pooled, axis=0)
+                    return cond
 
-                cond = stack(conds)
-                uncond = stack(unconds)
                 cfg = np.asarray([r.params["cfg"] for r in group], np.float32)
+                # per-request seeds: initial + per-step sampler noise are
+                # drawn per sample (pipelines/sd.py), so co-batching never
+                # changes a request's image
                 out = pipe.sample_latent(
-                    latent, cond, uncond,
-                    seed=p0["seed"], steps=p0["steps"], cfg=cfg,
+                    latent, stack(conds), stack(unconds),
+                    seed=[r.params["seed"] for r in group],
+                    steps=p0["steps"], cfg=cfg,
                     sampler_name=p0["sampler"], scheduler=p0["scheduler"],
-                    noise=noise,
                 )
                 # hand the UN-synCED device array to the drainer: the next
                 # batch's programs dispatch while this one transfers
@@ -223,8 +256,14 @@ class GenerationServer:
                 self._pending.put((group, device_images))
             except Exception as e:  # deliver the failure to every waiter
                 log.exception("generation batch failed")
+                # generation faults are server errors (500) even when the
+                # underlying exception is a ValueError — only _normalize
+                # failures are client faults (400)
+                err = e if not isinstance(e, (ValueError, KeyError)) else (
+                    RuntimeError(f"generation failed: {e}")
+                )
                 for r in group:
-                    r.error = e
+                    r.error = err
                     r.event.set()
 
     def _drain(self):

@@ -89,7 +89,11 @@ class SDPipeline:
             )
         self.vae = V.VAE(sd.vae_params, sd.vae_config, policy=vae_policy)
         self._programs: dict = {}
-        self._cond_cache: dict = {}
+        # bounded LRU: the serving frontend feeds unique prompts indefinitely
+        import collections
+
+        self._cond_cache: collections.OrderedDict = collections.OrderedDict()
+        self._cond_cache_max = 256
 
     def quantize_unet(self, quantize_convs: bool = True):
         """Switch the UNet to the W8A8 int8 inference path (ops/quant.py).
@@ -142,6 +146,10 @@ class SDPipeline:
         if key not in self._cond_cache:
             cond, pooled = self.clip.encode(text)
             self._cond_cache[key] = (cond, pooled)
+            if len(self._cond_cache) > self._cond_cache_max:
+                self._cond_cache.popitem(last=False)
+        else:
+            self._cond_cache.move_to_end(key)
         return self._cond_cache[key]
 
     # --------------------------------------------------------- programs -----
@@ -257,8 +265,13 @@ class SDPipeline:
         ``start_step``/``last_step``: sigma-window slicing (the Impact-pack
         ``separated_sample`` semantics, ref :9113). For SDXL models the
         pooled outputs carried in (cond, pooled) tuples become ADM vectors.
-        ``noise``: explicit initial noise (per-request seeds in the batching
-        server); ``cfg`` may be a (B,) array for per-sample guidance."""
+
+        Serving-batch extensions (beyond the reference's one-request flow):
+        ``seed`` may be a sequence of B per-sample seeds — initial AND
+        per-step sampler noise are then drawn per sample (noise.keys_for),
+        so each sample reproduces its solo-run image regardless of batch
+        composition; ``cfg`` may be a (B,) array for per-sample guidance;
+        ``noise`` overrides the initial noise explicitly."""
         cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
         uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
         y_cond, y_uncond = self._adm_vectors(latent, positive, negative)
@@ -279,17 +292,34 @@ class SDPipeline:
             has_y=y_cond is not None,
         )
         program = self._sample_program(cfg_key, sigmas.tobytes(), step_offset=lo)
+        from ..diffusion.noise import keys_for
+
+        per_sample = not isinstance(seed, int)
+        if per_sample:
+            seeds = [int(s) for s in seed]
+            if len(seeds) != latent.shape[0]:
+                raise ValueError(
+                    f"{len(seeds)} seeds for batch {latent.shape[0]}"
+                )
+        rng = keys_for(seeds if per_sample else seed)
         if noise is None:
-            noise = (
-                jnp.zeros_like(latent, dtype=jnp.float32)
-                if disable_noise
-                else prepare_noise(latent.astype(jnp.float32), seed)
-            )
+            if disable_noise:
+                noise = jnp.zeros_like(latent, dtype=jnp.float32)
+            elif per_sample:
+                noise = jnp.concatenate(
+                    [
+                        prepare_noise(latent[i : i + 1].astype(jnp.float32), s)
+                        for i, s in enumerate(seeds)
+                    ],
+                    axis=0,
+                )
+            else:
+                noise = prepare_noise(latent.astype(jnp.float32), seed)
         args = [
             self.sd.unet_params, self._shard_batch(noise),
             self._shard_batch(latent), self._shard_batch(cond),
             self._shard_batch(uncond), jnp.asarray(cfg, jnp.float32),
-            jax.random.PRNGKey(seed),
+            rng,
         ]
         kwargs = {}
         if noise_mask is not None:
@@ -372,7 +402,12 @@ class SDPipeline:
                     jnp.concatenate([x, x], axis=0),
                 )
                 d_cond, d_uncond = den2[:b], den2[b:]
-                return d_uncond + (d_cond - d_uncond) * cfg_scale, cache
+                scale = jnp.asarray(cfg_scale, jnp.float32)
+                if scale.ndim:  # per-sample guidance, as in cfg.py
+                    scale = scale.reshape(
+                        scale.shape + (1,) * (x.ndim - scale.ndim)
+                    )
+                return d_uncond + (d_cond - d_uncond) * scale, cache
 
             x = ms.noise_scaling(
                 jnp.float32(sigmas[0]), noise.astype(jnp.float32),

@@ -143,8 +143,10 @@ def make_train_step(
                 )
                 return (loss_acc + loss_i, grad_acc), ()
 
+            # accumulate in the grad's own dtype (== param dtype) so the
+            # optimizer state matches the accum_steps=1 path exactly
             zeros = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), params
+                lambda p: jnp.zeros(p.shape, p.dtype), params
             )
             (loss, grads), _ = jax.lax.scan(
                 micro, (jnp.float32(0.0), zeros), (x0_m, ctx_m, keys)
@@ -200,10 +202,7 @@ def make_trainer(
             # warmup-aware decay (standard: min(decay, (1+t)/(10+t)))
             t = state["step"].astype(jnp.float32)
             d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
-            ema = jax.tree_util.tree_map(
-                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
-                ema, params,
-            )
+            ema = ema_update(ema, params, d)
         return {
             "params": params,
             "opt_state": opt_state,

@@ -130,6 +130,111 @@ def test_generation_server_pipelined_stream(pipe):
         gen.shutdown()
 
 
+def test_batched_request_reproduces_solo_image(pipe):
+    """A request's image is identical whether it runs alone or co-batched
+    with arbitrary neighbours (per-sample seed keys, noise.keys_for) — for
+    an ANCESTRAL sampler, whose per-step noise comes from the sampler key."""
+    import jax.numpy as jnp
+
+    pos = pipe.encode_text("a cat")
+    neg = pipe.encode_text("")
+    kw = dict(steps=3, cfg=7.0, sampler_name="euler_ancestral",
+              scheduler="karras")
+    solo = pipe.sample_latent(
+        pipe.empty_latent(64, 64, 1), pos, neg, seed=[7], **kw
+    )
+    pos3 = jnp.concatenate([pos[0]] * 3, axis=0)
+    neg3 = jnp.concatenate([neg[0]] * 3, axis=0)
+    batched = pipe.sample_latent(
+        pipe.empty_latent(64, 64, 3), pos3, neg3, seed=[3, 7, 11], **kw
+    )
+    np.testing.assert_array_equal(np.asarray(solo[0]), np.asarray(batched[1]))
+    other = pipe.sample_latent(
+        pipe.empty_latent(64, 64, 3), pos3, neg3, seed=[7, 99, 100], **kw
+    )
+    np.testing.assert_array_equal(np.asarray(batched[1]), np.asarray(other[0]))
+    # distinct seeds still give distinct images
+    assert np.abs(np.asarray(batched[0] - batched[1])).max() > 1e-6
+
+
+def test_gather_backlog_prevents_starvation(pipe):
+    """A deferred (incompatible) request becomes the NEXT batch's head."""
+    gen = GenerationServer(pipe, max_batch=2, max_wait_ms=400.0)
+    try:
+        order = []
+        lock = threading.Lock()
+
+        def fire(name, w):
+            img = gen.submit({"prompt": name, "width": w, "height": 64,
+                              "steps": 2})
+            with lock:
+                order.append((name, img.shape))
+
+        threads = [
+            threading.Thread(target=fire, args=(f"maj{i}", 64))
+            for i in range(2)
+        ] + [threading.Thread(target=fire, args=("minority", 96))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert len(order) == 3
+        shapes = dict(order)
+        assert shapes["minority"] == (64, 96, 3)
+        st = gen.stats()
+        assert st["requests"] == 3 and st["batches"] == 2
+    finally:
+        gen.shutdown()
+
+
+def test_shutdown_fails_queued_requests_immediately(pipe):
+    gen = GenerationServer(pipe, max_batch=1, max_wait_ms=1.0)
+    errors = []
+    # occupy the worker, then shut down with a request still queued
+    slow = threading.Thread(
+        target=lambda: gen.submit({"prompt": "x", "width": 64, "height": 64,
+                                   "steps": 2})
+    )
+    slow.start()
+
+    def queued():
+        try:
+            gen.submit({"prompt": "y", "width": 64, "height": 64, "steps": 2})
+        except Exception as e:
+            errors.append(e)
+
+    q = threading.Thread(target=queued)
+    q.start()
+    import time as _time
+
+    _time.sleep(0.2)
+    gen.shutdown()
+    q.join(timeout=30)
+    slow.join(timeout=300)
+    # the queued request either completed before shutdown or failed fast
+    assert not q.is_alive()
+
+
+def test_http_non_dict_body_is_400(pipe):
+    httpd = make_server(pipe, port=0, max_wait_ms=5.0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/txt2img", data=b"5"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.generation.shutdown()
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_generation_server_validates(pipe):
     gen = GenerationServer(pipe)
     try:
