@@ -103,15 +103,23 @@ def make_cfg_denoiser(
     return denoise
 
 
-def make_denoiser_single(unet_apply, params, cond, model_sampling):
-    """No-CFG denoiser (cfg_scale == 1.0 path, one cond only)."""
+def make_denoiser_single(unet_apply, params, cond, model_sampling,
+                         y_cond=None):
+    """No-CFG denoiser: one cond, UNet batch B instead of 2·B. Used for
+    cfg_scale == 1.0 and for the tail of CFG-truncated sampling
+    (SDPipeline ``cfg_cutoff``). ``y_cond``: SDXL ADM vector."""
 
     def denoise(x, sigma):
         b = x.shape[0]
+        context = jnp.broadcast_to(cond, (b,) + cond.shape[1:])
         sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
         x_in = model_sampling.calculate_input(sigma_b, x)
         t = model_sampling.timestep(sigma_b)
-        eps = unet_apply(params, x_in, t, cond)
+        if y_cond is not None:
+            y = jnp.broadcast_to(y_cond, (b,) + y_cond.shape[1:])
+            eps = unet_apply(params, x_in, t, context, y)
+        else:
+            eps = unet_apply(params, x_in, t, context)
         return model_sampling.calculate_denoised(sigma_b, eps.astype(jnp.float32), x)
 
     return denoise

@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--int8", action="store_true",
                    help="quantize the UNet to W8A8 after LoRA merge "
                         "(int8 MXU path, ops/quant.py)")
+    t.add_argument("--tome", type=float, default=0.0, metavar="RATIO",
+                   help="ToMe self-attention token merging ratio (e.g. 0.5; "
+                        "faster at hires sizes, slight quality trade)")
+    t.add_argument("--cfg-cutoff", type=float, default=None, metavar="FRAC",
+                   help="run CFG only for the first FRAC of steps (e.g. 0.6),"
+                        " cond-only after — ~1.2-1.4x, slight quality trade")
     t.add_argument("--refiner", default=None, metavar="CKPT",
                    help="SDXL refiner checkpoint: two-stage base→refiner "
                         "sampling on one shared schedule")
@@ -177,6 +183,8 @@ def main(argv=None):
         )
         if args.int8:
             pipe.quantize_unet()
+        if args.tome:
+            pipe.set_tome(args.tome)
         if args.refiner:
             from ..loader.checkpoint import load_checkpoint
             from ..pipelines.sd import SDPipeline, txt2img_refined
@@ -201,6 +209,7 @@ def main(argv=None):
             hires_fix=args.hires_fix, hires_steps=args.hires_steps,
             hires_denoise=args.hires_denoise,
             deepcache_interval=args.deepcache,
+            cfg_cutoff=args.cfg_cutoff,
         )
         if args.adetailer:
             from ..pipelines.adetailer import adetailer

@@ -45,6 +45,11 @@ class UNetConfig:
     adm_in_channels: int = 0  # SDXL: 2816 (pooled text + size embeddings)
     dropout: float = 0.0
     attn_force: str | None = None  # attention backend override for tests
+    # ToMe (arXiv 2303.17604, ops/tome.py): merge this fraction of src
+    # tokens before SELF-attention at levels with ≥ tome_min_tokens tokens
+    # (0 = off). Opt-in accelerator absent in the reference.
+    tome_ratio: float = 0.0
+    tome_min_tokens: int = 4096
 
     def heads_for(self, channels: int) -> int:
         if self.num_head_channels > 0:
@@ -146,11 +151,26 @@ def cross_attention_apply(p, x, context, num_heads, policy, force=None):
     return L.linear(p["to_out"], out, policy)
 
 
-def transformer_block_apply(p, x, context, num_heads, policy, force=None):
-    x = x + cross_attention_apply(
-        p["attn1"], L.layer_norm(p["ln1"], x, policy=policy),
-        L.layer_norm(p["ln1"], x, policy=policy), num_heads, policy, force
-    )
+def transformer_block_apply(p, x, context, num_heads, policy, force=None,
+                            tome_hw=None, tome_ratio=0.0):
+    """``tome_hw``/``tome_ratio``: when set, self-attention runs on the
+    ToMe-merged token set and unmerges after (ops/tome.py)."""
+    x_norm = L.layer_norm(p["ln1"], x, policy=policy)
+    if tome_ratio > 0.0 and tome_hw is not None:
+        from ..ops.tome import merge_and_unmerge
+
+        merged, unmerge = merge_and_unmerge(
+            x_norm, tome_hw[0], tome_hw[1], tome_ratio
+        )
+        x = x + unmerge(
+            cross_attention_apply(
+                p["attn1"], merged, merged, num_heads, policy, force
+            )
+        )
+    else:
+        x = x + cross_attention_apply(
+            p["attn1"], x_norm, x_norm, num_heads, policy, force
+        )
     x = x + cross_attention_apply(
         p["attn2"], L.layer_norm(p["ln2"], x, policy=policy), context,
         num_heads, policy, force,
@@ -161,10 +181,13 @@ def transformer_block_apply(p, x, context, num_heads, policy, force=None):
     return x
 
 
-def spatial_transformer_apply(p, x, context, num_heads, policy, force=None):
+def spatial_transformer_apply(p, x, context, num_heads, policy, force=None,
+                              tome_ratio=0.0, tome_min_tokens=4096):
     """GN → proj in → (B,HW,C) blocks → proj out → +residual (ref :4165-4262).
     Projections are 1×1 convs (SD1.x) or linears (SD2.x,
-    use_linear_in_transformer) — distinguished by the weight rank."""
+    use_linear_in_transformer) — distinguished by the weight rank.
+    ``tome_ratio``: ToMe self-attention token merging at levels with
+    ≥ tome_min_tokens tokens (ops/tome.py)."""
     b, h, w, c = x.shape
     residual = x
     x = L.group_norm(p["norm"], x, eps=1e-6, policy=policy)
@@ -176,8 +199,10 @@ def spatial_transformer_apply(p, x, context, num_heads, policy, force=None):
     else:
         x = L.conv2d(p["proj_in"], x, policy=policy)
         x = x.reshape(b, h * w, c)
+    tome_hw = (h, w) if (tome_ratio > 0.0 and h * w >= tome_min_tokens) else None
     for blk in p["blocks"]:
-        x = transformer_block_apply(blk, x, context, num_heads, policy, force)
+        x = transformer_block_apply(blk, x, context, num_heads, policy, force,
+                                    tome_hw=tome_hw, tome_ratio=tome_ratio)
     if linear_proj:
         x = L.linear(p["proj_out"], x, policy)
         x = x.reshape(b, h, w, c)
@@ -211,6 +236,8 @@ def _block_apply(spec: BlockSpec, p, h, emb, context, cfg, policy):
         h = spatial_transformer_apply(
             p["attn"], h, context, cfg.heads_for(spec.ch_out), policy,
             cfg.attn_force,
+            tome_ratio=cfg.tome_ratio,
+            tome_min_tokens=cfg.tome_min_tokens,
         )
     return h
 
@@ -254,6 +281,8 @@ def apply_unet(
     h = spatial_transformer_apply(
         params["middle"]["attn"], h, context, cfg.heads_for(mid_ch), policy,
         cfg.attn_force,
+        tome_ratio=cfg.tome_ratio,
+        tome_min_tokens=cfg.tome_min_tokens,
     )
     h = resblock_apply(params["middle"]["res2"], h, emb, policy)
 
@@ -265,6 +294,8 @@ def apply_unet(
             h = spatial_transformer_apply(
                 p["attn"], h, context, cfg.heads_for(spec.ch_out), policy,
                 cfg.attn_force,
+                tome_ratio=cfg.tome_ratio,
+                tome_min_tokens=cfg.tome_min_tokens,
             )
         if spec.upsample:
             out_hw = None
@@ -346,6 +377,8 @@ def apply_unet_cached(
         h = spatial_transformer_apply(
             params["middle"]["attn"], h, context, cfg.heads_for(mid_ch),
             policy, cfg.attn_force,
+            tome_ratio=cfg.tome_ratio,
+            tome_min_tokens=cfg.tome_min_tokens,
         )
         h = resblock_apply(params["middle"]["res2"], h, emb, policy)
         for spec, p in zip(output_plan[:n_do], params["output_blocks"][:n_do]):
@@ -355,6 +388,8 @@ def apply_unet_cached(
                 h = spatial_transformer_apply(
                     p["attn"], h, context, cfg.heads_for(spec.ch_out), policy,
                     cfg.attn_force,
+                    tome_ratio=cfg.tome_ratio,
+                    tome_min_tokens=cfg.tome_min_tokens,
                 )
             if spec.upsample:
                 h = upsample_apply(p["up"], h, policy)
@@ -371,6 +406,8 @@ def apply_unet_cached(
             h = spatial_transformer_apply(
                 p["attn"], h, context, cfg.heads_for(spec.ch_out), policy,
                 cfg.attn_force,
+                tome_ratio=cfg.tome_ratio,
+                tome_min_tokens=cfg.tome_min_tokens,
             )
         if spec.upsample:
             h = upsample_apply(p["up"], h, policy)

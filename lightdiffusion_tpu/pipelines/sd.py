@@ -44,6 +44,7 @@ class SampleConfig:
     differential_diffusion: bool = False
     deepcache: int = 0  # >1: refresh deep UNet blocks every N steps
     has_y: bool = False  # SDXL ADM vector conditioning
+    uncond_free: bool = False  # cond-only (no CFG): UNet batch B, not 2·B
 
 
 class SDPipeline:
@@ -94,6 +95,16 @@ class SDPipeline:
 
         self._cond_cache: collections.OrderedDict = collections.OrderedDict()
         self._cond_cache_max = 256
+
+    def set_tome(self, ratio: float, min_tokens: int = 4096):
+        """Enable/disable ToMe self-attention token merging (ops/tome.py,
+        arXiv 2303.17604) for every subsequent program. Opt-in accelerator
+        absent in the reference; biggest wins at hires/SDXL token counts."""
+        self.sd.unet_config = dataclasses.replace(
+            self.sd.unet_config, tome_ratio=ratio, tome_min_tokens=min_tokens
+        )
+        self._programs.clear()
+        return self
 
     def quantize_unet(self, quantize_convs: bool = True):
         """Switch the UNet to the W8A8 int8 inference path (ops/quant.py).
@@ -181,11 +192,19 @@ class SDPipeline:
         @jax.jit
         def program(unet_params, noise, latent, cond, uncond, cfg_scale, key,
                     mask=None, y_cond=None, y_uncond=None):
-            denoise_fn = make_cfg_denoiser(
-                unet_apply_y if cfg_key.has_y else unet_apply,
-                unet_params, cond, uncond, cfg_scale, ms,
-                y_cond=y_cond, y_uncond=y_uncond,
-            )
+            if cfg_key.uncond_free:
+                from ..diffusion.cfg import make_denoiser_single
+
+                denoise_fn = make_denoiser_single(
+                    unet_apply_y if cfg_key.has_y else unet_apply,
+                    unet_params, cond, ms, y_cond=y_cond,
+                )
+            else:
+                denoise_fn = make_cfg_denoiser(
+                    unet_apply_y if cfg_key.has_y else unet_apply,
+                    unet_params, cond, uncond, cfg_scale, ms,
+                    y_cond=y_cond, y_uncond=y_uncond,
+                )
             if cfg_key.masked:
                 from ..diffusion.inpaint import (
                     differential_diffusion_mask_fn,
@@ -258,6 +277,8 @@ class SDPipeline:
         last_step: int | None = None,
         deepcache_interval: int = 0,
         noise: jnp.ndarray | None = None,
+        cfg_cutoff: float | None = None,
+        _uncond_free: bool = False,
     ) -> jnp.ndarray:
         """The KSampler node (ref KSampler2.sample :6704 / common_ksampler
         :6657): seeded noise + full jit'd sampling program. ``noise_mask``
@@ -271,7 +292,31 @@ class SDPipeline:
         per-step sampler noise are then drawn per sample (noise.keys_for),
         so each sample reproduces its solo-run image regardless of batch
         composition; ``cfg`` may be a (B,) array for per-sample guidance;
-        ``noise`` overrides the initial noise explicitly."""
+        ``noise`` overrides the initial noise explicitly.
+
+        ``cfg_cutoff`` (opt-in accelerator, e.g. 0.6): run CFG only for the
+        first fraction of steps, then resume the SAME schedule cond-only
+        (UNet batch B instead of 2·B) — guidance matters most early in the
+        trajectory ("Applying Guidance in a Limited Interval", arXiv
+        2404.07724); the handoff reuses the exact suffix-noise window
+        machinery (KSamplerAdvanced semantics)."""
+        if cfg_cutoff is not None and 0.0 < cfg_cutoff < 1.0:
+            k = min(steps - 1, max(1, round(steps * cfg_cutoff)))
+            x = self.sample_latent(
+                latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
+                sampler_name=sampler_name, scheduler=scheduler,
+                denoise=denoise, disable_noise=disable_noise,
+                noise_mask=noise_mask,
+                differential_diffusion=differential_diffusion,
+                start_step=0, last_step=k, noise=noise,
+            )
+            return self.sample_latent(
+                x, positive, negative, seed=seed, steps=steps, cfg=cfg,
+                sampler_name=sampler_name, scheduler=scheduler,
+                denoise=denoise, disable_noise=True, noise_mask=noise_mask,
+                differential_diffusion=differential_diffusion,
+                start_step=k, _uncond_free=True,
+            )
         cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
         uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
         y_cond, y_uncond = self._adm_vectors(latent, positive, negative)
@@ -290,6 +335,7 @@ class SDPipeline:
             differential_diffusion=differential_diffusion and noise_mask is not None,
             deepcache=deepcache_interval if noise_mask is None else 0,
             has_y=y_cond is not None,
+            uncond_free=_uncond_free,
         )
         program = self._sample_program(cfg_key, sigmas.tobytes(), step_offset=lo)
         from ..diffusion.noise import keys_for
@@ -667,6 +713,7 @@ def txt2img(
     hires_denoise: float = 0.45,
     hires_cfg: float = 8.0,
     deepcache_interval: int = 0,
+    cfg_cutoff: float | None = None,
 ) -> np.ndarray:
     """Full txt2img (ref GUI flow :10483 / headless pipeline :10001):
     encode → sample → [hires: bislerp ×2 + second pass] → decode.
@@ -677,7 +724,7 @@ def txt2img(
     latent = pipe.sample_latent(
         latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
         sampler_name=sampler_name, scheduler=scheduler,
-        deepcache_interval=deepcache_interval,
+        deepcache_interval=deepcache_interval, cfg_cutoff=cfg_cutoff,
     )
     if hires_fix:
         latent = pipe.upscale_latent(latent, width * 2, height * 2, "bislerp")
