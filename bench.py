@@ -73,8 +73,9 @@ def main():
         latent = pipe.empty_latent(kw["width"], kw["height"], batch)
         skw = dict(steps=kw["steps"], cfg=kw["cfg"],
                    sampler_name=kw["sampler_name"], scheduler=kw["scheduler"])
-        if kw.get("deepcache_interval"):
-            skw["deepcache_interval"] = kw["deepcache_interval"]
+        for opt in ("deepcache_interval", "cfg_cutoff"):
+            if kw.get(opt):
+                skw[opt] = kw[opt]
 
         def run(seed):
             out = pipe.sample_latent(latent, pos, neg, seed=seed, **skw)
@@ -121,6 +122,18 @@ def main():
             f"{ays_std*1000:.0f} ms/image)")
     except Exception as e:
         log(f"AYS bench failed: {e}")
+    try:
+        # everything-on preset: AYS-10 + ToMe-0.5 + CFG truncation
+        pipe.set_tome(0.5)
+        stack_kw = dict(kwargs, scheduler="ays", steps=10,
+                        sampler_name="dpmpp_2m_sde", cfg_cutoff=0.7)
+        stk, stk_std = pipelined(3, batch, **stack_kw)
+        log(f"stacked opt-ins (AYS-10 + ToMe-0.5 + cfg_cutoff 0.7): "
+            f"{60.0/stk:.1f} img/min/chip ({stk*1000:.0f} ± "
+            f"{stk_std*1000:.0f} ms/image)")
+        pipe.set_tome(0.0)
+    except Exception as e:
+        log(f"stacked bench failed: {e}")
 
     print(json.dumps({
         "metric": "sd15_512x512_20step_txt2img_throughput",

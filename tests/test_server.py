@@ -215,6 +215,64 @@ def test_shutdown_fails_queued_requests_immediately(pipe):
     assert not q.is_alive()
 
 
+def test_server_batches_sdxl_requests():
+    """The batch assembly keeps pooled halves as tuples, so ADM-conditioned
+    (SDXL) models serve batched requests (regression: pooled was dropped and
+    every SDXL request 400'd)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightdiffusion_tpu.diffusion.parameterization import (
+        make_discrete_sampling,
+    )
+    from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
+    from lightdiffusion_tpu.models import clip as C
+    from lightdiffusion_tpu.models import unet as U
+    from lightdiffusion_tpu.models import vae as V
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+    from tests.test_pipeline import TINY_VAE
+
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    cfg_l = C.ClipConfig(hidden_size=24, num_layers=2, num_heads=2,
+                         intermediate_size=48)
+    cfg_g = C.ClipConfig(hidden_size=40, num_layers=2, num_heads=2,
+                         intermediate_size=80, hidden_act="gelu",
+                         pad_with_end=False)
+    xl_cfg = U.UNetConfig(
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
+        transformer_depth=(0, 1), middle_depth=1, context_dim=64,
+        num_heads=-1, num_head_channels=16, use_linear_projections=True,
+        adm_in_channels=40 + 6 * 256, attn_force="xla",
+    )
+    sd = StableDiffusion(
+        unet_params=U.init_unet_params(k[0], xl_cfg), unet_config=xl_cfg,
+        clip_params=C.init_clip_params(k[1], cfg_l), clip_config=cfg_l,
+        vae_params=V.init_vae_params(k[2], TINY_VAE), vae_config=TINY_VAE,
+        model_sampling=make_discrete_sampling("eps"),
+        clip2_params=C.init_clip_params(k[3], cfg_g), clip2_config=cfg_g,
+    )
+    gen = GenerationServer(SDPipeline(sd, policy=L.FP32), max_batch=2,
+                           max_wait_ms=300.0)
+    try:
+        out = {}
+
+        def fire(i):
+            out[i] = gen.submit({"prompt": f"a cat {i}", "width": 64,
+                                 "height": 64, "steps": 2, "seed": i})
+
+        t1 = threading.Thread(target=fire, args=(0,))
+        t2 = threading.Thread(target=fire, args=(1,))
+        t1.start(); t2.start()
+        t1.join(timeout=300); t2.join(timeout=300)
+        assert len(out) == 2
+        for img in out.values():
+            assert img.shape == (64, 64, 3) and np.isfinite(img).all()
+        assert gen.stats()["batched_requests"] >= 2
+    finally:
+        gen.shutdown()
+
+
 def test_http_non_dict_body_is_400(pipe):
     httpd = make_server(pipe, port=0, max_wait_ms=5.0)
     port = httpd.server_address[1]
