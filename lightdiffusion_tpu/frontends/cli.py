@@ -107,6 +107,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-wait-ms", type=float, default=25.0)
     s.add_argument("--int8", action="store_true",
                    help="quantize the UNet to W8A8 (int8 MXU path)")
+    s.add_argument("--warmup", action="store_true",
+                   help="AOT-compile the default shape buckets before "
+                        "accepting requests (no first-request compile stall)")
 
     d = sub.add_parser(
         "download",
@@ -167,6 +170,10 @@ def main(argv=None):
         )
         if args.int8:
             pipe.quantize_unet()
+        if args.warmup:
+            from ..runtime.warmup import warmup
+
+            warmup(pipe, batch=args.max_batch)
         serve(pipe, host=args.host, port=args.port,
               max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
         return

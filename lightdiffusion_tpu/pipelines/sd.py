@@ -89,12 +89,21 @@ class SDPipeline:
                 clip_skip=clip_skip,
             )
         self.vae = V.VAE(sd.vae_params, sd.vae_config, policy=vae_policy)
-        self._programs: dict = {}
-        # bounded LRU: the serving frontend feeds unique prompts indefinitely
+        # bounded LRUs: a long-running server sees unbounded distinct
+        # prompts and (via width/height/steps) compile keys; dropping a
+        # program frees its executable (the persistent on-disk XLA cache
+        # makes re-adding cheap)
         import collections
 
+        self._programs: collections.OrderedDict = collections.OrderedDict()
+        self._programs_max = 64
         self._cond_cache: collections.OrderedDict = collections.OrderedDict()
         self._cond_cache_max = 256
+
+    def _cache_program(self, key, program):
+        self._programs[key] = program
+        if len(self._programs) > self._programs_max:
+            self._programs.popitem(last=False)
 
     def set_tome(self, ratio: float, min_tokens: int = 4096):
         """Enable/disable ToMe self-attention token merging (ops/tome.py,
@@ -171,6 +180,7 @@ class SDPipeline:
         unsliced schedule (Brownian/suffix-noise semantics, ref :9025-9041)."""
         key = ("sample", cfg_key, sigmas_bytes, step_offset)
         if key in self._programs:
+            self._programs.move_to_end(key)
             return self._programs[key]
         sigmas = np.frombuffer(sigmas_bytes, dtype=np.float32)
         ms = self.sd.model_sampling
@@ -182,7 +192,7 @@ class SDPipeline:
 
         if cfg_key.deepcache > 1:
             program = self._deepcache_program(cfg_key, sigmas, step_offset)
-            self._programs[key] = program
+            self._cache_program(key, program)
             return program
 
         def unet_apply_y(params, x, t, ctx, y):
@@ -225,7 +235,7 @@ class SDPipeline:
                 sampler_name=cfg_key.sampler_name, step_offset=step_offset,
             )
 
-        self._programs[key] = program
+        self._cache_program(key, program)
         return program
 
     def _adm_vectors(self, latent, positive, negative,
@@ -481,6 +491,7 @@ class SDPipeline:
     def _chunk_program(self, cfg_key: SampleConfig, chunk_len: int):
         key = ("chunk", cfg_key, chunk_len)
         if key in self._programs:
+            self._programs.move_to_end(key)
             return self._programs[key]
         ms = self.sd.model_sampling
         unet_cfg = self.sd.unet_config
@@ -507,7 +518,7 @@ class SDPipeline:
             x, aux2, _ = run_steps(body, x, aux, indices, (sig_lo, sig_hi))
             return x, aux2
 
-        self._programs[key] = program
+        self._cache_program(key, program)
         return program
 
     def _adaptive_chunk_programs(self, cfg_key: SampleConfig,
@@ -518,6 +529,7 @@ class SDPipeline:
         mirroring the reference's in-loop interrupt_flag check (:1076)."""
         key = ("adaptive_chunk", cfg_key, sigmas_bytes, seg_iters)
         if key in self._programs:
+            self._programs.move_to_end(key)
             return self._programs[key]
         sigmas = np.frombuffer(sigmas_bytes, dtype=np.float32)
         ms = self.sd.model_sampling
@@ -551,7 +563,7 @@ class SDPipeline:
 
         run_prog = with_denoiser(lambda run, finish, carry: run(carry))
         finish_prog = with_denoiser(lambda run, finish, carry: finish(carry))
-        self._programs[key] = (run_prog, finish_prog)
+        self._cache_program(key, (run_prog, finish_prog))
         return self._programs[key]
 
     def _sample_adaptive_chunked(self, latent, cond, uncond, seed, steps, cfg,

@@ -45,6 +45,26 @@ def test_txt2img_end_to_end(pipe):
     assert img.min() >= 0.0 and img.max() <= 1.0
 
 
+def test_program_and_cond_caches_are_bounded(pipe):
+    """Long-running serving must not grow the jit-program / cond caches
+    without bound (both are LRUs)."""
+    pipe._programs_max = 3
+    pipe._cond_cache_max = 4
+    try:
+        for steps in (2, 3, 4, 5, 6):
+            lat = pipe.empty_latent(32, 32, 1)
+            pos = pipe.encode_text(f"prompt {steps}")
+            neg = pipe.encode_text("")
+            pipe.sample_latent(lat, pos, neg, seed=0, steps=steps)
+        assert len(pipe._programs) <= 3
+        assert len(pipe._cond_cache) <= 4
+    finally:
+        pipe._programs_max = 64
+        pipe._cond_cache_max = 256
+        pipe._programs.clear()
+        pipe._cond_cache.clear()
+
+
 def test_txt2img_deterministic_per_seed(pipe):
     a = txt2img(pipe, "cat", "", width=32, height=32, steps=3, seed=1)
     b = txt2img(pipe, "cat", "", width=32, height=32, steps=3, seed=1)
