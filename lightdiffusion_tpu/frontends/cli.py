@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--cfg-cutoff", type=float, default=None, metavar="FRAC",
                    help="run CFG only for the first FRAC of steps (e.g. 0.6),"
                         " cond-only after — ~1.2-1.4x, slight quality trade")
+    t.add_argument("--controlnet", default=None, metavar="CKPT",
+                   help="ControlNet checkpoint (arXiv 2302.05543); needs "
+                        "--control-image")
+    t.add_argument("--control-image", default=None, metavar="PATH",
+                   help="prepared hint image (canny/depth/pose map)")
+    t.add_argument("--control-strength", type=float, default=1.0)
     t.add_argument("--refiner", default=None, metavar="CKPT",
                    help="SDXL refiner checkpoint: two-stage base→refiner "
                         "sampling on one shared schedule")
@@ -192,6 +198,23 @@ def main(argv=None):
             pipe.quantize_unet()
         if args.tome:
             pipe.set_tome(args.tome)
+        control = None
+        if args.controlnet:
+            import numpy as np
+            from PIL import Image
+
+            from ..loader.checkpoint import load_controlnet
+
+            if not args.control_image:
+                raise SystemExit("--controlnet needs --control-image")
+            cn_params, cn_cfg = load_controlnet(args.controlnet)
+            hint = np.asarray(
+                Image.open(args.control_image).convert("RGB").resize(
+                    (args.width, args.height)
+                ),
+                np.float32,
+            )[None] / 255.0
+            control = (cn_params, cn_cfg, hint, args.control_strength)
         if args.refiner:
             from ..loader.checkpoint import load_checkpoint
             from ..pipelines.sd import SDPipeline, txt2img_refined
@@ -217,6 +240,7 @@ def main(argv=None):
             hires_denoise=args.hires_denoise,
             deepcache_interval=args.deepcache,
             cfg_cutoff=args.cfg_cutoff,
+            control=control,
         )
         if args.adetailer:
             from ..pipelines.adetailer import adetailer

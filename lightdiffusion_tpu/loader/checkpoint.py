@@ -139,6 +139,28 @@ def load_checkpoint(
     return out
 
 
+def load_controlnet(path: str | Path, dtype=None):
+    """Load a ControlNet checkpoint (arXiv 2302.05543; capability extension —
+    the reference has no spatial conditioning). Returns (params, UNetConfig).
+    Handles both bare and ``control_model.``-prefixed key layouts; the
+    encoder config is shape-sniffed like the UNet's."""
+    import jax.numpy as jnp
+
+    from .unet_weights import convert_controlnet, detect_unet_config
+
+    sd = load_torch_file(path)
+    prefix = (
+        "control_model."
+        if any(k.startswith("control_model.") for k in sd)
+        else ""
+    )
+    cfg = detect_unet_config(sd, prefix=prefix)
+    params = convert_controlnet(
+        sd, cfg, prefix=prefix, dtype=dtype or jnp.bfloat16
+    )
+    return params, cfg
+
+
 def _convert_all(sd, unet_config, unet_dtype, clip_dtype, vae_dtype, pred):
     # text-encoder family detection (beyond the reference's SD1.5-only
     # registry at :6015): SD2.x = OpenCLIP under cond_stage_model.model.*;

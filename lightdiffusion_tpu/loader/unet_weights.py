@@ -150,6 +150,61 @@ def convert_unet(
     return out
 
 
+# ------------------------------------------------------------ controlnet ----
+def convert_controlnet(
+    sd: dict,
+    cfg: UNetConfig,
+    prefix: str = "control_model.",
+    dtype=jnp.bfloat16,
+):
+    """Flat ``control_model.`` state dict → models/controlnet.py param tree.
+    Key layout per the ControlNet release (arXiv 2302.05543): the UNet
+    encoder tree + zero_convs.i.0 + middle_block_out.0 +
+    input_hint_block.{0,2,..,14}."""
+    from ..models.controlnet import HINT_CHANNELS
+
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    input_plan, _ = build_plan(cfg)
+
+    input_blocks = []
+    for i, spec in enumerate(input_plan):
+        pfx = f"input_blocks.{i}"
+        if spec.kind == "conv_in":
+            input_blocks.append({"conv": _conv(sd, pfx + ".0", dtype)})
+        elif spec.kind == "down":
+            input_blocks.append({"conv": _conv(sd, pfx + ".0.op", dtype)})
+        else:
+            p = {"res": _res(sd, pfx + ".0", dtype)}
+            if spec.kind == "res_attn":
+                p["attn"] = _transformer(sd, pfx + ".1", spec.depth, dtype)
+            input_blocks.append(p)
+
+    return {
+        "time_fc1": _lin(sd, "time_embed.0", dtype),
+        "time_fc2": _lin(sd, "time_embed.2", dtype),
+        "input_blocks": tuple(input_blocks),
+        "middle": {
+            "res1": _res(sd, "middle_block.0", dtype),
+            "attn": _transformer(sd, "middle_block.1", cfg.middle_depth, dtype),
+            "res2": _res(sd, "middle_block.2", dtype),
+        },
+        "middle_out": _conv(sd, "middle_block_out.0", dtype),
+        "zero_convs": tuple(
+            _conv(sd, f"zero_convs.{i}.0", dtype)
+            for i in range(len(input_plan))
+        ),
+        "hint": {
+            "convs": tuple(
+                _conv(sd, f"input_hint_block.{2 * i}", dtype)
+                for i in range(len(HINT_CHANNELS))
+            ),
+            "out": _conv(sd, f"input_hint_block.{2 * len(HINT_CHANNELS)}",
+                         dtype),
+        },
+    }
+
+
 # ---------------------------------------------------------------- detect ----
 def detect_unet_config(sd: dict, prefix: str = "model.diffusion_model.") -> UNetConfig:
     """Reconstruct UNet hyperparameters from state-dict key shapes
@@ -163,7 +218,11 @@ def detect_unet_config(sd: dict, prefix: str = "model.diffusion_model.") -> UNet
 
     model_channels = shape("input_blocks.0.0.weight")[0]
     in_channels = shape("input_blocks.0.0.weight")[1]
-    out_channels = shape("out.2.weight")[0]
+    # controlnets have no decoder/out head — keep the latent channel count
+    out_channels = (
+        shape("out.2.weight")[0] if prefix + "out.2.weight" in sd
+        else in_channels
+    )
     context_dim = None
 
     # walk input blocks

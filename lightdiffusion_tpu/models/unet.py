@@ -263,8 +263,11 @@ def apply_unet(
     y: jnp.ndarray | None = None,  # (B, adm_in) SDXL vector conditioning
     cfg: UNetConfig = SD15_UNET,
     policy: L.Policy = L.DEFAULT_POLICY,
+    control=None,  # (per-input-block residuals, middle residual) — ControlNet
 ):
-    """UNet forward (ref :5688-5767): eps prediction in x's dtype."""
+    """UNet forward (ref :5688-5767): eps prediction in x's dtype.
+    ``control``: ControlNet residuals (models/controlnet.py) added to the
+    skip connections and post-middle activation (arXiv 2302.05543)."""
     input_plan, output_plan = build_plan(cfg)
     emb = _time_label_emb(params, timesteps, y, cfg, policy)
 
@@ -276,6 +279,12 @@ def apply_unet(
         h = _block_apply(spec, p, h, emb, context, cfg, policy)
         hs.append(h)
 
+    if control is not None:
+        ctrl_outs, ctrl_mid = control
+        hs = [
+            h_i + c.astype(h_i.dtype) for h_i, c in zip(hs, ctrl_outs)
+        ]
+
     mid_ch = cfg.model_channels * cfg.channel_mult[-1]
     h = resblock_apply(params["middle"]["res1"], h, emb, policy)
     h = spatial_transformer_apply(
@@ -285,6 +294,8 @@ def apply_unet(
         tome_min_tokens=cfg.tome_min_tokens,
     )
     h = resblock_apply(params["middle"]["res2"], h, emb, policy)
+    if control is not None:
+        h = h + ctrl_mid.astype(h.dtype)
 
     for spec, p in zip(output_plan, params["output_blocks"]):
         skip = hs.pop()

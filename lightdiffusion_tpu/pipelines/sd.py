@@ -45,6 +45,7 @@ class SampleConfig:
     deepcache: int = 0  # >1: refresh deep UNet blocks every N steps
     has_y: bool = False  # SDXL ADM vector conditioning
     uncond_free: bool = False  # cond-only (no CFG): UNet batch B, not 2·B
+    control_cfg: object = None  # ControlNet encoder UNetConfig (None = off)
 
 
 class SDPipeline:
@@ -199,20 +200,44 @@ class SDPipeline:
             return U.apply_unet(params, x, t, ctx, y=y, cfg=unet_cfg,
                                 policy=policy)
 
+        def wrap_control(base_apply, cn_params, hint, strength):
+            """Per-step ControlNet residuals feeding the UNet call
+            (models/controlnet.py; arXiv 2302.05543). Applied to both CFG
+            halves (the hint broadcasts over the 2·B batch)."""
+            from ..models import controlnet as CN
+
+            cn_cfg = cfg_key.control_cfg
+
+            def wrapped(params, x, t, ctx, y=None):
+                b = x.shape[0]
+                hb = jnp.broadcast_to(hint, (b,) + hint.shape[1:])
+                outs, mid = CN.apply_controlnet(
+                    cn_params, x, hb, t, ctx, cfg=cn_cfg, policy=policy
+                )
+                s = strength.astype(mid.dtype)
+                control = (tuple(o * s for o in outs), mid * s)
+                return U.apply_unet(params, x, t, ctx, y=y, cfg=unet_cfg,
+                                    policy=policy, control=control)
+
+            return wrapped
+
         @jax.jit
         def program(unet_params, noise, latent, cond, uncond, cfg_scale, key,
-                    mask=None, y_cond=None, y_uncond=None):
+                    mask=None, y_cond=None, y_uncond=None, cn_params=None,
+                    hint=None, ctrl_strength=None):
+            base_apply = unet_apply_y if cfg_key.has_y else unet_apply
+            if cfg_key.control_cfg is not None:
+                base_apply = wrap_control(base_apply, cn_params, hint,
+                                          ctrl_strength)
             if cfg_key.uncond_free:
                 from ..diffusion.cfg import make_denoiser_single
 
                 denoise_fn = make_denoiser_single(
-                    unet_apply_y if cfg_key.has_y else unet_apply,
-                    unet_params, cond, ms, y_cond=y_cond,
+                    base_apply, unet_params, cond, ms, y_cond=y_cond,
                 )
             else:
                 denoise_fn = make_cfg_denoiser(
-                    unet_apply_y if cfg_key.has_y else unet_apply,
-                    unet_params, cond, uncond, cfg_scale, ms,
+                    base_apply, unet_params, cond, uncond, cfg_scale, ms,
                     y_cond=y_cond, y_uncond=y_uncond,
                 )
             if cfg_key.masked:
@@ -288,6 +313,7 @@ class SDPipeline:
         deepcache_interval: int = 0,
         noise: jnp.ndarray | None = None,
         cfg_cutoff: float | None = None,
+        control=None,  # (cn_params, cn_cfg, hint, strength) — ControlNet
         _uncond_free: bool = False,
     ) -> jnp.ndarray:
         """The KSampler node (ref KSampler2.sample :6704 / common_ksampler
@@ -318,14 +344,14 @@ class SDPipeline:
                 denoise=denoise, disable_noise=disable_noise,
                 noise_mask=noise_mask,
                 differential_diffusion=differential_diffusion,
-                start_step=0, last_step=k, noise=noise,
+                start_step=0, last_step=k, noise=noise, control=control,
             )
             return self.sample_latent(
                 x, positive, negative, seed=seed, steps=steps, cfg=cfg,
                 sampler_name=sampler_name, scheduler=scheduler,
                 denoise=denoise, disable_noise=True, noise_mask=noise_mask,
                 differential_diffusion=differential_diffusion,
-                start_step=k, _uncond_free=True,
+                start_step=k, control=control, _uncond_free=True,
             )
         cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
         uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
@@ -343,9 +369,14 @@ class SDPipeline:
             cond.shape[1], uncond.shape[1],
             masked=noise_mask is not None,
             differential_diffusion=differential_diffusion and noise_mask is not None,
-            deepcache=deepcache_interval if noise_mask is None else 0,
+            deepcache=(
+                deepcache_interval
+                if noise_mask is None and control is None
+                else 0
+            ),
             has_y=y_cond is not None,
             uncond_free=_uncond_free,
+            control_cfg=control[1] if control is not None else None,
         )
         program = self._sample_program(cfg_key, sigmas.tobytes(), step_offset=lo)
         from ..diffusion.noise import keys_for
@@ -386,6 +417,14 @@ class SDPipeline:
         if y_cond is not None:
             kwargs["y_cond"] = y_cond
             kwargs["y_uncond"] = y_uncond
+        if control is not None:
+            cn_params, _, hint, strength = control
+            hint = jnp.asarray(hint, jnp.float32)
+            if hint.ndim == 3:
+                hint = hint[None]
+            kwargs["cn_params"] = cn_params
+            kwargs["hint"] = hint.astype(self.policy.compute_dtype)
+            kwargs["ctrl_strength"] = jnp.float32(strength)
         return program(*args, **kwargs)
 
     def _deepcache_program(self, cfg_key: SampleConfig, sigmas: np.ndarray,
@@ -726,6 +765,7 @@ def txt2img(
     hires_cfg: float = 8.0,
     deepcache_interval: int = 0,
     cfg_cutoff: float | None = None,
+    control=None,  # (cn_params, cn_cfg, hint, strength)
 ) -> np.ndarray:
     """Full txt2img (ref GUI flow :10483 / headless pipeline :10001):
     encode → sample → [hires: bislerp ×2 + second pass] → decode.
@@ -737,6 +777,7 @@ def txt2img(
         latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
         sampler_name=sampler_name, scheduler=scheduler,
         deepcache_interval=deepcache_interval, cfg_cutoff=cfg_cutoff,
+        control=control,
     )
     if hires_fix:
         latent = pipe.upscale_latent(latent, width * 2, height * 2, "bislerp")

@@ -1,0 +1,167 @@
+"""ControlNet (models/controlnet.py): torch parity + UNet/pipeline wiring.
+
+Capability extension — the reference has no spatial conditioning of any
+kind (/root/reference/LightDiffusion.py has no control/hint path).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lightdiffusion_tpu.models import controlnet as CN
+from lightdiffusion_tpu.models import unet as U
+from lightdiffusion_tpu.ops import layers as L
+
+TINY = U.UNetConfig(
+    model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
+    transformer_depth=(1, 0), context_dim=64, num_heads=2, attn_force="xla",
+)
+
+
+@pytest.fixture(scope="module")
+def torch_pair():
+    torch = pytest.importorskip("torch")
+    from tests.torch_ldm_ref import MiniControlNet
+
+    torch.manual_seed(0)
+    model = MiniControlNet(
+        model_ch=32, channel_mult=(1, 2), num_res=(1, 1), depths=(1, 0),
+        context_dim=64, heads=2, groups=32,
+    ).eval()
+    # randomize the zero convs so parity exercises them too
+    with torch.no_grad():
+        for m in list(model.zero_convs) + [model.middle_block_out]:
+            m[0].weight.normal_(0, 0.02)
+            m[0].bias.normal_(0, 0.02)
+        model.input_hint_block[-1].weight.normal_(0, 0.02)
+    sd = {"control_model." + k: v.numpy() for k, v in model.state_dict().items()}
+    from lightdiffusion_tpu.loader.unet_weights import convert_controlnet
+
+    params = convert_controlnet(sd, TINY, dtype=jnp.float32)
+    return model, params, sd
+
+
+def test_controlnet_parity(torch_pair):
+    import torch
+
+    model, params, _ = torch_pair
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 4, 16, 16).astype(np.float32)
+    hint = rng.rand(2, 3, 128, 128).astype(np.float32)
+    t = np.array([999.0, 500.0], dtype=np.float32)
+    ctx = rng.randn(2, 77, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_outs, ref_mid = model(
+            torch.from_numpy(x), torch.from_numpy(hint),
+            torch.from_numpy(t), torch.from_numpy(ctx),
+        )
+    outs, mid = CN.apply_controlnet(
+        params,
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(hint.transpose(0, 2, 3, 1)),
+        jnp.asarray(t),
+        jnp.asarray(ctx),
+        cfg=TINY,
+        policy=L.FP32,
+    )
+    assert len(outs) == len(ref_outs)
+    for got, want in zip(outs, ref_outs):
+        np.testing.assert_allclose(
+            np.asarray(got), want.numpy().transpose(0, 2, 3, 1),
+            atol=2e-4, rtol=2e-4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(mid), ref_mid.numpy().transpose(0, 2, 3, 1),
+        atol=2e-4, rtol=2e-4,
+    )
+
+
+def test_detect_config_from_controlnet_sd(torch_pair):
+    from lightdiffusion_tpu.loader.unet_weights import detect_unet_config
+
+    _, _, sd = torch_pair
+    cfg = detect_unet_config(sd, prefix="control_model.")
+    assert cfg.model_channels == 32
+    assert cfg.channel_mult == (1, 2)
+    assert cfg.transformer_depth == (1, 0)
+    assert cfg.context_dim == 64
+
+
+def test_unet_consumes_control_residuals():
+    key = jax.random.PRNGKey(0)
+    params = U.init_unet_params(key, TINY, dtype=jnp.float32)
+    cn = CN.init_controlnet_params(jax.random.PRNGKey(1), TINY)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 4), jnp.float32)
+    hint = jax.random.uniform(jax.random.PRNGKey(3), (1, 128, 128, 3))
+    t = jnp.full((1,), 500.0, jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (1, 77, 64), jnp.float32)
+    base = U.apply_unet(params, x, t, ctx, cfg=TINY, policy=L.FP32)
+    outs, mid = CN.apply_controlnet(cn, x, hint, t, ctx, cfg=TINY,
+                                    policy=L.FP32)
+    # fresh-init controlnet: zero convs → all-zero residuals → identical out
+    ctl = U.apply_unet(params, x, t, ctx, cfg=TINY, policy=L.FP32,
+                       control=(outs, mid))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(ctl))
+    # non-zero residuals steer the prediction
+    outs2 = tuple(o + 0.1 for o in outs)
+    ctl2 = U.apply_unet(params, x, t, ctx, cfg=TINY, policy=L.FP32,
+                        control=(outs2, mid + 0.1))
+    assert np.abs(np.asarray(ctl2) - np.asarray(base)).max() > 1e-6
+
+
+def test_load_controlnet_file_roundtrip(torch_pair, tmp_path):
+    """Full-file path: save the torch sd as safetensors → load_controlnet
+    sniffs the config and converts (both prefixed and bare layouts)."""
+    from safetensors.numpy import save_file
+
+    from lightdiffusion_tpu.loader.checkpoint import load_controlnet
+
+    _, _, sd = torch_pair
+    f = tmp_path / "cn.safetensors"
+    save_file({k: np.asarray(v) for k, v in sd.items()}, str(f))
+    params, cfg = load_controlnet(f, dtype=jnp.float32)
+    assert cfg.model_channels == 32 and cfg.channel_mult == (1, 2)
+    assert len(params["zero_convs"]) == len(params["input_blocks"])
+    # bare (unprefixed) layout
+    f2 = tmp_path / "cn_bare.safetensors"
+    save_file(
+        {k[len("control_model."):]: np.asarray(v) for k, v in sd.items()},
+        str(f2),
+    )
+    params2, cfg2 = load_controlnet(f2, dtype=jnp.float32)
+    assert cfg2 == cfg
+    np.testing.assert_array_equal(
+        np.asarray(params["middle_out"]["weight"]),
+        np.asarray(params2["middle_out"]["weight"]),
+    )
+
+
+def test_pipeline_sample_with_controlnet():
+    from tests.test_quant import _tiny_pipe
+
+    pipe = _tiny_pipe()
+    cn = CN.init_controlnet_params(jax.random.PRNGKey(1), TINY)
+    # give the zero convs weight so control actually bites
+    cn["middle_out"]["weight"] = (
+        jax.random.normal(jax.random.PRNGKey(2),
+                          cn["middle_out"]["weight"].shape) * 0.05
+    )
+    pos = pipe.encode_text("a cat")
+    neg = pipe.encode_text("")
+    latent = pipe.empty_latent(64, 64, 1)
+    # the hint encoder downsamples ×8 to latent resolution (the tiny test
+    # VAE ratio is 2, so the hint here is 8×latent, not the image size)
+    hint = jax.random.uniform(jax.random.PRNGKey(5), (1, 256, 256, 3))
+    kw = dict(seed=3, steps=2, cfg=7.0, sampler_name="euler_ancestral")
+    base = pipe.sample_latent(latent, pos, neg, **kw)
+    out = pipe.sample_latent(latent, pos, neg,
+                             control=(cn, TINY, hint, 1.0), **kw)
+    assert out.shape == base.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-7
+    # strength 0 restores the uncontrolled result exactly
+    zero = pipe.sample_latent(latent, pos, neg,
+                              control=(cn, TINY, hint, 0.0), **kw)
+    np.testing.assert_allclose(np.asarray(zero), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)

@@ -1062,3 +1062,86 @@ class MiniYolo9(nn.Module):
         n5 = m["21"](torch.cat([m["19"](n4), p5], 1))
         head = m["22"]
         return [(head.cv2[i](f), head.cv3[i](f)) for i, f in enumerate((n3, n4, n5))]
+
+
+# ----------------------------------------------------------- ControlNet -----
+class MiniControlNet(nn.Module):
+    """ControlNet (arXiv 2302.05543) at toy size, state-dict compatible with
+    the release's ``control_model.`` key layout: the UNet encoder tree +
+    zero_convs.i.0 + middle_block_out.0 + input_hint_block.{0,2,..,14}."""
+
+    HINT_CHS = (16, 16, 32, 32, 96, 96, 256)
+    HINT_STRIDES = (1, 1, 2, 1, 2, 1, 2)
+
+    def __init__(self, in_ch=4, model_ch=32, channel_mult=(1, 2),
+                 num_res=(1, 1), depths=(1, 0), context_dim=64, heads=2,
+                 groups=32, hint_ch=3):
+        super().__init__()
+        emb = model_ch * 4
+        self.model_ch = model_ch
+        self.time_embed = nn.Sequential(
+            nn.Linear(model_ch, emb), nn.SiLU(), nn.Linear(emb, emb)
+        )
+        hint_mods = []
+        c = hint_ch
+        for co, s in zip(self.HINT_CHS, self.HINT_STRIDES):
+            hint_mods += [nn.Conv2d(c, co, 3, padding=1, stride=s), nn.SiLU()]
+            c = co
+        hint_mods.append(nn.Conv2d(c, model_ch, 3, padding=1))
+        nn.init.zeros_(hint_mods[-1].weight)
+        nn.init.zeros_(hint_mods[-1].bias)
+        self.input_hint_block = nn.Sequential(*hint_mods)
+
+        def zconv(ch):
+            m = nn.Conv2d(ch, ch, 1)
+            nn.init.zeros_(m.weight)
+            nn.init.zeros_(m.bias)
+            return nn.Sequential(m)
+
+        self.input_blocks = nn.ModuleList(
+            [nn.Sequential(nn.Conv2d(in_ch, model_ch, 3, padding=1))]
+        )
+        self.zero_convs = nn.ModuleList([zconv(model_ch)])
+        ch = model_ch
+        for level, mult in enumerate(channel_mult):
+            oc = model_ch * mult
+            for _ in range(num_res[level]):
+                mods = [ResBlock(ch, oc, emb, groups)]
+                if depths[level] > 0:
+                    mods.append(SpatialTransformer(oc, context_dim, heads,
+                                                   depths[level], groups))
+                self.input_blocks.append(nn.Sequential(*mods))
+                self.zero_convs.append(zconv(oc))
+                ch = oc
+            if level != len(channel_mult) - 1:
+                self.input_blocks.append(nn.Sequential(Downsample(ch)))
+                self.zero_convs.append(zconv(ch))
+        self.middle_block = nn.Sequential(
+            ResBlock(ch, ch, emb, groups),
+            SpatialTransformer(ch, context_dim, heads, 1, groups),
+            ResBlock(ch, ch, emb, groups),
+        )
+        self.middle_block_out = zconv(ch)
+
+    def forward(self, x, hint, timesteps, context):
+        emb = self.time_embed(timestep_embedding(timesteps, self.model_ch))
+        guided = self.input_hint_block(hint)
+        h = x
+        outs = []
+        for i, block in enumerate(self.input_blocks):
+            for mod in block:
+                if isinstance(mod, ResBlock):
+                    h = mod(h, emb)
+                elif isinstance(mod, SpatialTransformer):
+                    h = mod(h, context)
+                else:
+                    h = mod(h)
+            if i == 0:
+                h = h + guided
+            outs.append(self.zero_convs[i](h))
+        for mod in self.middle_block:
+            if isinstance(mod, ResBlock):
+                h = mod(h, emb)
+            else:
+                h = mod(h, context)
+        return outs, self.middle_block_out(h)
