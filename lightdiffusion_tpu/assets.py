@@ -24,6 +24,7 @@ ASSET_CLASSES = [
     "loras",
     "embeddings",
     "ESRGAN",
+    "controlnet",
     "yolos",
     "vae_approx",  # TAESD weights
     "clip",

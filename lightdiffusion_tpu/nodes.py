@@ -104,14 +104,14 @@ def _unpack_cond(c):
 
 def common_ksampler(model: SDPipeline, seed, steps, cfg, sampler_name,
                     scheduler, positive, negative, latent, denoise=1.0,
-                    disable_noise=False):
-    """(ref :6657)"""
+                    disable_noise=False, control=None):
+    """(ref :6657). ``control``: ControlNetApply output (beyond the ref)."""
     cond = _unpack_cond(positive)
     uncond = _unpack_cond(negative)
     out = model.sample_latent(
         latent["samples"], cond, uncond, seed=seed, steps=steps, cfg=cfg,
         sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,
-        disable_noise=disable_noise,
+        disable_noise=disable_noise, control=control,
     )
     return ({"samples": out},)
 
@@ -120,10 +120,10 @@ class KSampler:
     """(ref KSampler2 :6704)"""
 
     def sample(self, model, seed, steps, cfg, sampler_name, scheduler,
-               positive, negative, latent_image, denoise=1.0):
+               positive, negative, latent_image, denoise=1.0, control=None):
         return common_ksampler(
             model, seed, steps, cfg, sampler_name, scheduler,
-            positive, negative, latent_image, denoise,
+            positive, negative, latent_image, denoise, control=control,
         )
 
 
@@ -195,6 +195,27 @@ class SaveImage:
             img.save(out_dir / fname)
             results.append(str(out_dir / fname))
         return {"ui": {"images": results}}
+
+
+class ControlNetLoader:
+    """Load a ControlNet from _internal/controlnet (models/controlnet.py,
+    arXiv 2302.05543 — beyond the reference's node set)."""
+
+    def load_controlnet(self, control_net_name: str):
+        from .loader.checkpoint import load_controlnet
+
+        path = assets.resolve_file("controlnet", control_net_name)
+        return (load_controlnet(path),)
+
+
+class ControlNetApply:
+    """Attach a controlnet + hint image to the sampling call: returns the
+    ``control`` tuple KSampler/sample_latent consume. ``image``:
+    (B, H, W, 3) float in [0, 1] at pixel resolution."""
+
+    def apply_controlnet(self, control_net, image, strength: float = 1.0):
+        params, cfg = control_net
+        return ((params, cfg, image, float(strength)),)
 
 
 class UpscaleModelLoader:
@@ -295,6 +316,8 @@ NODE_CLASS_MAPPINGS = {
     "VAEDecode": VAEDecode,
     "VAEEncode": VAEEncode,
     "SaveImage": SaveImage,
+    "ControlNetLoader": ControlNetLoader,
+    "ControlNetApply": ControlNetApply,
     "UpscaleModelLoader": UpscaleModelLoader,
     "ImageUpscaleWithModel": ImageUpscaleWithModel,
     "UltralyticsDetectorProvider": UltralyticsDetectorProvider,

@@ -137,6 +137,35 @@ def test_load_controlnet_file_roundtrip(torch_pair, tmp_path):
     )
 
 
+def test_controlnet_nodes(torch_pair, tmp_path, monkeypatch):
+    """ControlNetLoader + ControlNetApply + KSampler(control=...) node flow."""
+    from safetensors.numpy import save_file
+
+    from lightdiffusion_tpu import assets, nodes as N
+    from tests.test_quant import _tiny_pipe
+
+    _, _, sd = torch_pair
+    cndir = tmp_path / "controlnet"
+    cndir.mkdir()
+    save_file({k: np.asarray(v) for k, v in sd.items()},
+              str(cndir / "tiny_cn.safetensors"))
+    monkeypatch.setenv("LDT_ASSETS", str(tmp_path))
+    (cn,) = N.ControlNetLoader().load_controlnet("tiny_cn.safetensors")
+    hint = np.random.RandomState(0).rand(1, 256, 256, 3).astype(np.float32)
+    (control,) = N.ControlNetApply().apply_controlnet(cn, hint, strength=0.8)
+    assert control[3] == 0.8
+    pipe = _tiny_pipe()
+    pos = [[pipe.encode_text("a cat")[0], {}]]
+    neg = [[pipe.encode_text("")[0], {}]]
+    latent = {"samples": pipe.empty_latent(64, 64, 1)}
+    (out,) = N.KSampler().sample(
+        pipe, 0, 2, 7.0, "euler_ancestral", "karras", pos, neg, latent,
+        control=control,
+    )
+    assert out["samples"].shape == (1, 32, 32, 4)
+    assert np.isfinite(np.asarray(out["samples"])).all()
+
+
 def test_pipeline_sample_with_controlnet():
     from tests.test_quant import _tiny_pipe
 
