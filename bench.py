@@ -131,9 +131,10 @@ def main():
         log(f"stacked opt-ins (AYS-10 + ToMe-0.5 + cfg_cutoff 0.7): "
             f"{60.0/stk:.1f} img/min/chip ({stk*1000:.0f} ± "
             f"{stk_std*1000:.0f} ms/image)")
-        pipe.set_tome(0.0)
     except Exception as e:
         log(f"stacked bench failed: {e}")
+    finally:
+        pipe.set_tome(0.0)
 
     print(json.dumps({
         "metric": "sd15_512x512_20step_txt2img_throughput",

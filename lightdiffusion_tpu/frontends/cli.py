@@ -179,7 +179,7 @@ def main(argv=None):
         if args.warmup:
             from ..runtime.warmup import warmup
 
-            warmup(pipe, batch=args.max_batch)
+            warmup(pipe, batch=args.max_batch, serving=True)
         serve(pipe, host=args.host, port=args.port,
               max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
         return
@@ -216,6 +216,12 @@ def main(argv=None):
             )[None] / 255.0
             control = (cn_params, cn_cfg, hint, args.control_strength)
         if args.refiner:
+            if control is not None or args.cfg_cutoff:
+                raise SystemExit(
+                    "--refiner does not combine with --controlnet/"
+                    "--cfg-cutoff (two-stage refiner sampling has its own "
+                    "schedule handoff)"
+                )
             from ..loader.checkpoint import load_checkpoint
             from ..pipelines.sd import SDPipeline, txt2img_refined
 

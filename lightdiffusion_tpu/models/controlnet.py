@@ -81,7 +81,10 @@ def apply_controlnet(
 # ------------------------------------------------------------------ init ----
 def init_controlnet_params(key, cfg: U.UNetConfig = U.SD15_UNET,
                            hint_channels: int = 3, dtype=jnp.float32):
-    """Random-init (zero convs at zero, per the paper's zero-initialization)."""
+    """Random-init (zero convs at zero, per the paper's zero-initialization).
+    Reuses the full UNet init and keeps the encoder halves — ~2× the needed
+    init work, acceptable because random-init controlnets only appear in
+    tests/smoke runs (real loads go through convert_controlnet)."""
     input_plan, _ = U.build_plan(cfg)
     full = U.init_unet_params(key, cfg, dtype=dtype)
     ks = jax.random.split(jax.random.fold_in(key, 1), len(HINT_CHANNELS) + 1)

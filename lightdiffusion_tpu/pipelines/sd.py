@@ -210,7 +210,12 @@ class SDPipeline:
 
             def wrapped(params, x, t, ctx, y=None):
                 b = x.shape[0]
-                hb = jnp.broadcast_to(hint, (b,) + hint.shape[1:])
+                # hint is (1,...) (shared) or (B,...) (per-sample); the CFG
+                # batch is [cond‖uncond] = [x;x], so tiling matches halves
+                reps = b // hint.shape[0]
+                hb = (
+                    jnp.tile(hint, (reps, 1, 1, 1)) if reps > 1 else hint
+                )
                 outs, mid = CN.apply_controlnet(
                     cn_params, x, hb, t, ctx, cfg=cn_cfg, policy=policy
                 )
@@ -336,21 +341,30 @@ class SDPipeline:
         trajectory ("Applying Guidance in a Limited Interval", arXiv
         2404.07724); the handoff reuses the exact suffix-noise window
         machinery (KSamplerAdvanced semantics)."""
-        if cfg_cutoff is not None and 0.0 < cfg_cutoff < 1.0:
-            k = min(steps - 1, max(1, round(steps * cfg_cutoff)))
+        if cfg_cutoff is not None and 0.0 < cfg_cutoff < 1.0 and steps >= 2:
+            if noise_mask is not None:
+                raise ValueError(
+                    "cfg_cutoff does not compose with masked sampling: the "
+                    "resumed phase would blend zero noise into the preserved "
+                    "region (run masked sampling without cfg_cutoff)"
+                )
+            if start_step is not None or last_step is not None:
+                raise ValueError(
+                    "cfg_cutoff manages its own step window; it cannot be "
+                    "combined with start_step/last_step"
+                )
+            k = max(1, min(steps - 1, round(steps * cfg_cutoff)))
             x = self.sample_latent(
                 latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
                 sampler_name=sampler_name, scheduler=scheduler,
                 denoise=denoise, disable_noise=disable_noise,
-                noise_mask=noise_mask,
-                differential_diffusion=differential_diffusion,
+                deepcache_interval=deepcache_interval,
                 start_step=0, last_step=k, noise=noise, control=control,
             )
             return self.sample_latent(
                 x, positive, negative, seed=seed, steps=steps, cfg=cfg,
                 sampler_name=sampler_name, scheduler=scheduler,
-                denoise=denoise, disable_noise=True, noise_mask=noise_mask,
-                differential_diffusion=differential_diffusion,
+                denoise=denoise, disable_noise=True,
                 start_step=k, control=control, _uncond_free=True,
             )
         cond = positive if isinstance(positive, jnp.ndarray) else positive[0]

@@ -26,20 +26,31 @@ DEFAULT_BUCKETS = [
 ]
 
 
-def warmup(pipe, buckets=None, batch: int = 1):
+def warmup(pipe, buckets=None, batch: int = 1, serving: bool = False):
+    """``serving``: compile the SERVER-shaped programs instead — per-sample
+    seed lists ((B,2) keys) and (B,) cfg arrays, at batch sizes 1 and
+    ``batch`` — matching exactly what frontends/server.py submits (the
+    scalar-seed trace is a different program and would leave the first real
+    request paying the cold compile)."""
+    import numpy as np
+
     buckets = buckets or DEFAULT_BUCKETS
     pos = pipe.encode_text("warmup")
     neg = pipe.encode_text("")
+    batches = sorted({1, batch}) if serving else [batch]
     for (w, h, steps, sampler, scheduler, denoise) in buckets:
-        t0 = time.time()
-        latent = pipe.empty_latent(w, h, batch)
-        pipe.sample_latent(
-            latent, pos, neg, steps=steps, sampler_name=sampler,
-            scheduler=scheduler, denoise=denoise,
-        )
-        pipe.decode(latent)
-        log.info("warm %dx%d %s/%s %d steps: %.1fs", w, h, sampler,
-                 scheduler, steps, time.time() - t0)
+        for b in batches:
+            t0 = time.time()
+            latent = pipe.empty_latent(w, h, b)
+            kw = dict(steps=steps, sampler_name=sampler,
+                      scheduler=scheduler, denoise=denoise)
+            if serving:
+                kw["seed"] = list(range(b))
+                kw["cfg"] = np.full((b,), 7.0, np.float32)
+            pipe.sample_latent(latent, pos, neg, **kw)
+            pipe.decode(latent)
+            log.info("warm %dx%d b%d %s/%s %d steps: %.1fs", w, h, b,
+                     sampler, scheduler, steps, time.time() - t0)
 
 
 def main():  # pragma: no cover - tool entry

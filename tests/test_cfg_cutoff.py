@@ -58,3 +58,25 @@ def test_cutoff_one_equals_baseline(pipe):
     full = _sample(pipe)
     one = _sample(pipe, cfg_cutoff=1.0)  # no-op: out of (0,1) range
     np.testing.assert_array_equal(one, full)
+
+
+def test_cutoff_single_step_is_noop(pipe):
+    """steps=1 skips truncation instead of producing a k=0 un-noised run."""
+    full = _sample(pipe, steps=1)
+    cut = _sample(pipe, steps=1, cfg_cutoff=0.7)
+    np.testing.assert_array_equal(cut, full)
+
+
+def test_cutoff_rejects_masked_and_windowed_runs(pipe):
+    import jax.numpy as jnp
+
+    pos = pipe.encode_text("a cat")
+    neg = pipe.encode_text("")
+    latent = pipe.empty_latent(64, 64, 1)
+    mask = jnp.ones(latent.shape[:3] + (1,), jnp.float32)
+    with pytest.raises(ValueError, match="masked"):
+        pipe.sample_latent(latent, pos, neg, steps=4, cfg_cutoff=0.5,
+                           noise_mask=mask)
+    with pytest.raises(ValueError, match="step window"):
+        pipe.sample_latent(latent, pos, neg, steps=4, cfg_cutoff=0.5,
+                           start_step=1)

@@ -194,3 +194,22 @@ def test_pipeline_sample_with_controlnet():
                               control=(cn, TINY, hint, 0.0), **kw)
     np.testing.assert_allclose(np.asarray(zero), np.asarray(base),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_controlnet_per_sample_hints():
+    """A (B,...) hint batch tiles across the 2·B CFG halves (regression:
+    broadcast_to crashed for B>1)."""
+    from tests.test_quant import _tiny_pipe
+
+    pipe = _tiny_pipe()
+    cn = CN.init_controlnet_params(jax.random.PRNGKey(1), TINY)
+    pos = pipe.encode_text("a cat")
+    neg = pipe.encode_text("")
+    latent = pipe.empty_latent(64, 64, 2)
+    hints = jax.random.uniform(jax.random.PRNGKey(5), (2, 256, 256, 3))
+    out = pipe.sample_latent(
+        latent, pos, neg, seed=3, steps=2, cfg=7.0,
+        sampler_name="euler_ancestral", control=(cn, TINY, hints, 1.0),
+    )
+    assert out.shape == (2, 32, 32, 4)
+    assert np.isfinite(np.asarray(out)).all()
