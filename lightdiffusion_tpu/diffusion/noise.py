@@ -41,8 +41,10 @@ def keys_for(seed) -> jax.Array:
     own seed only — a request co-batched with arbitrary neighbours (the
     serving frontend) reproduces exactly the image it gets in any other batch
     composition."""
-    if isinstance(seed, (int,)):
-        return jax.random.PRNGKey(seed)
+    import numpy as _np
+
+    if isinstance(seed, (int, _np.integer)):
+        return jax.random.PRNGKey(int(seed))
     return jnp.stack([jax.random.PRNGKey(int(s)) for s in seed])
 
 

@@ -116,6 +116,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--warmup", action="store_true",
                    help="AOT-compile the default shape buckets before "
                         "accepting requests (no first-request compile stall)")
+    s.add_argument("--controlnet", default=None, metavar="CKPT",
+                   help="serve with a ControlNet: requests may carry a "
+                        "base64-PNG control_image (+ control_strength)")
 
     d = sub.add_parser(
         "download",
@@ -180,8 +183,14 @@ def main(argv=None):
             from ..runtime.warmup import warmup
 
             warmup(pipe, batch=args.max_batch, serving=True)
+        cn = None
+        if args.controlnet:
+            from ..loader.checkpoint import load_controlnet
+
+            cn = load_controlnet(args.controlnet)
         serve(pipe, host=args.host, port=args.port,
-              max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+              max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+              controlnet=cn)
         return
     if args.command == "pipeline":
         pipeline(

@@ -55,7 +55,7 @@ log = logging.getLogger(__name__)
 
 _ALLOWED = {
     "prompt", "negative_prompt", "width", "height", "steps", "cfg", "seed",
-    "sampler", "scheduler", "format",
+    "sampler", "scheduler", "format", "control_image", "control_strength",
 }
 
 
@@ -71,15 +71,20 @@ class _Request:
     def group_key(self):
         p = self.params
         return (p["width"], p["height"], p["steps"], p["sampler"],
-                p["scheduler"])
+                p["scheduler"], p["control_image"] is not None)
 
 
 class GenerationServer:
     """Batching worker around one SDPipeline. Thread-safe submit()."""
 
     def __init__(self, pipe, max_batch: int = 4, max_wait_ms: float = 25.0,
-                 max_in_flight: int = 2):
+                 max_in_flight: int = 2, controlnet=None):
+        """``controlnet``: optional (params, UNetConfig) from
+        loader.checkpoint.load_controlnet — requests may then carry a
+        base64-PNG ``control_image`` (+ ``control_strength``), batched as
+        per-sample hints/strengths."""
         self.pipe = pipe
+        self.controlnet = controlnet
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self._queue: queue.Queue[_Request] = queue.Queue()
@@ -134,8 +139,7 @@ class GenerationServer:
             r.event.set()
 
     # ------------------------------------------------------------ worker ----
-    @staticmethod
-    def _normalize(params: dict) -> dict:
+    def _normalize(self, params: dict) -> dict:
         if not isinstance(params, dict):
             raise ValueError("request body must be a JSON object")
         unknown = set(params) - _ALLOWED
@@ -152,11 +156,33 @@ class GenerationServer:
             "sampler": str(params.get("sampler", "euler_ancestral")),
             "scheduler": str(params.get("scheduler", "karras")),
             "format": str(params.get("format", "png")),
+            "control_image": None,
+            "control_strength": float(params.get("control_strength", 1.0)),
         }
         if not (64 <= p["width"] <= 2048 and 64 <= p["height"] <= 2048):
             raise ValueError("width/height out of range [64, 2048]")
         if not (1 <= p["steps"] <= 200):
             raise ValueError("steps out of range [1, 200]")
+        if params.get("control_image") is not None:
+            if self.controlnet is None:
+                raise ValueError(
+                    "this server has no controlnet loaded (start with "
+                    "serve --controlnet CKPT)"
+                )
+            import base64
+            import io as _io
+
+            from PIL import Image
+
+            raw = base64.b64decode(params["control_image"])
+            img = Image.open(_io.BytesIO(raw)).convert("RGB")
+            # the hint encoder downsamples ×8 to latent resolution, so the
+            # hint target is latent·8 (== pixel size for the SD ratio-8 VAE)
+            r = self.pipe.sd.vae_config.downscale_ratio
+            img = img.resize((p["width"] // r * 8, p["height"] // r * 8))
+            p["control_image"] = (
+                np.asarray(img, np.float32)[None] / 255.0
+            )
         return p
 
     def _gather(self) -> list[_Request]:
@@ -237,6 +263,17 @@ class GenerationServer:
                     return cond
 
                 cfg = np.asarray([r.params["cfg"] for r in group], np.float32)
+                control = None
+                if p0["control_image"] is not None:
+                    cn_params, cn_cfg = self.controlnet
+                    hints = np.concatenate(
+                        [r.params["control_image"] for r in group], axis=0
+                    )
+                    strengths = np.asarray(
+                        [r.params["control_strength"] for r in group],
+                        np.float32,
+                    )
+                    control = (cn_params, cn_cfg, hints, strengths)
                 # per-request seeds: initial + per-step sampler noise are
                 # drawn per sample (pipelines/sd.py), so co-batching never
                 # changes a request's image
@@ -245,6 +282,7 @@ class GenerationServer:
                     seed=[r.params["seed"] for r in group],
                     steps=p0["steps"], cfg=cfg,
                     sampler_name=p0["sampler"], scheduler=p0["scheduler"],
+                    control=control,
                 )
                 # hand the UN-synCED device array to the drainer: the next
                 # batch's programs dispatch while this one transfers
@@ -350,23 +388,24 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(pipe, host: str = "127.0.0.1", port: int = 0,
                 max_batch: int = 4, max_wait_ms: float = 25.0,
-                max_in_flight: int = 2) -> ThreadingHTTPServer:
+                max_in_flight: int = 2,
+                controlnet=None) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``server.generation`` holds
     the batching worker. port=0 picks a free port (tests)."""
     httpd = ThreadingHTTPServer((host, port), _Handler)
     httpd.generation = GenerationServer(  # type: ignore[attr-defined]
         pipe, max_batch=max_batch, max_wait_ms=max_wait_ms,
-        max_in_flight=max_in_flight,
+        max_in_flight=max_in_flight, controlnet=controlnet,
     )
     return httpd
 
 
 def serve(pipe, host: str = "0.0.0.0", port: int = 8000,
           max_batch: int = 4, max_wait_ms: float = 25.0,
-          max_in_flight: int = 2):
+          max_in_flight: int = 2, controlnet=None):
     """Blocking serve loop (CLI `serve` subcommand)."""
     httpd = make_server(pipe, host, port, max_batch, max_wait_ms,
-                        max_in_flight)
+                        max_in_flight, controlnet)
     log.info("serving on http://%s:%d (max_batch=%d)", host, port, max_batch)
     try:
         httpd.serve_forever()

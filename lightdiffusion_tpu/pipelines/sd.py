@@ -220,6 +220,10 @@ class SDPipeline:
                     cn_params, x, hb, t, ctx, cfg=cn_cfg, policy=policy
                 )
                 s = strength.astype(mid.dtype)
+                if s.ndim:  # per-sample strengths (the serving frontend)
+                    sreps = b // s.shape[0]
+                    s = jnp.tile(s, (sreps,)) if sreps > 1 else s
+                    s = s.reshape(s.shape + (1, 1, 1))
                 control = (tuple(o * s for o in outs), mid * s)
                 return U.apply_unet(params, x, t, ctx, y=y, cfg=unet_cfg,
                                     policy=policy, control=control)
@@ -395,7 +399,7 @@ class SDPipeline:
         program = self._sample_program(cfg_key, sigmas.tobytes(), step_offset=lo)
         from ..diffusion.noise import keys_for
 
-        per_sample = not isinstance(seed, int)
+        per_sample = not isinstance(seed, (int, np.integer))
         if per_sample:
             seeds = [int(s) for s in seed]
             if len(seeds) != latent.shape[0]:
@@ -438,7 +442,7 @@ class SDPipeline:
                 hint = hint[None]
             kwargs["cn_params"] = cn_params
             kwargs["hint"] = hint.astype(self.policy.compute_dtype)
-            kwargs["ctrl_strength"] = jnp.float32(strength)
+            kwargs["ctrl_strength"] = jnp.asarray(strength, jnp.float32)
         return program(*args, **kwargs)
 
     def _deepcache_program(self, cfg_key: SampleConfig, sigmas: np.ndarray,

@@ -273,6 +273,56 @@ def test_server_batches_sdxl_requests():
         gen.shutdown()
 
 
+def test_server_controlnet_requests(pipe):
+    """serve --controlnet flow: base64 control_image requests batch with
+    per-sample hints/strengths; control-less servers reject them."""
+    import base64
+    import io
+
+    import jax
+    from PIL import Image
+
+    from lightdiffusion_tpu.models import controlnet as CN
+
+    cfg = pipe.sd.unet_config
+    cn = CN.init_controlnet_params(jax.random.PRNGKey(1), cfg)
+    gen = GenerationServer(pipe, max_batch=2, max_wait_ms=300.0,
+                           controlnet=(cn, cfg))
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+    ).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    try:
+        out = {}
+
+        def fire(i, strength):
+            out[i] = gen.submit({
+                "prompt": "a cat", "width": 64, "height": 64, "steps": 2,
+                "seed": i, "control_image": b64,
+                "control_strength": strength,
+            })
+
+        t1 = threading.Thread(target=fire, args=(0, 1.0))
+        t2 = threading.Thread(target=fire, args=(1, 0.5))
+        t1.start(); t2.start()
+        t1.join(timeout=300); t2.join(timeout=300)
+        assert len(out) == 2
+        for img in out.values():
+            assert img.shape == (64, 64, 3) and np.isfinite(img).all()
+        assert gen.stats()["batched_requests"] >= 2
+    finally:
+        gen.shutdown()
+
+    nogen = GenerationServer(pipe, max_wait_ms=5.0)  # no controlnet loaded
+    try:
+        with pytest.raises(ValueError, match="no controlnet"):
+            nogen.submit({"prompt": "x", "width": 64, "height": 64,
+                          "steps": 2, "control_image": b64})
+    finally:
+        nogen.shutdown()
+
+
 def test_http_non_dict_body_is_400(pipe):
     httpd = make_server(pipe, port=0, max_wait_ms=5.0)
     port = httpd.server_address[1]
