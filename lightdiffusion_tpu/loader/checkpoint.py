@@ -155,14 +155,6 @@ def load_controlnet(path: str | Path, dtype=None):
         else ""
     )
     cfg = detect_unet_config(sd, prefix=prefix)
-    if cfg.adm_in_channels:
-        # apply_controlnet runs the time embedding without a label branch;
-        # silently dropping a trained ADM conditioning would degrade the
-        # residuals without warning
-        raise ValueError(
-            "SDXL-layout ControlNets (ADM label embedding present) are not "
-            "supported yet; use an SD1.x/SD2.x controlnet"
-        )
     params = convert_controlnet(
         sd, cfg, prefix=prefix, dtype=dtype or jnp.bfloat16
     )

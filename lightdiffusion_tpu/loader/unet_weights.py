@@ -180,7 +180,7 @@ def convert_controlnet(
                 p["attn"] = _transformer(sd, pfx + ".1", spec.depth, dtype)
             input_blocks.append(p)
 
-    return {
+    out = {
         "time_fc1": _lin(sd, "time_embed.0", dtype),
         "time_fc2": _lin(sd, "time_embed.2", dtype),
         "input_blocks": tuple(input_blocks),
@@ -203,6 +203,10 @@ def convert_controlnet(
                          dtype),
         },
     }
+    if "label_emb.0.0.weight" in sd:  # SDXL-layout controlnet ADM branch
+        out["label_fc1"] = _lin(sd, "label_emb.0.0", dtype)
+        out["label_fc2"] = _lin(sd, "label_emb.0.2", dtype)
+    return out
 
 
 # ---------------------------------------------------------------- detect ----

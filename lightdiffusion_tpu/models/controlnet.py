@@ -46,13 +46,15 @@ def apply_controlnet(
     hint: jnp.ndarray,  # (B, H·8, W·8, 3) conditioning image
     timesteps: jnp.ndarray,  # (B,)
     context: jnp.ndarray,  # (B, T, ctx)
+    y: jnp.ndarray | None = None,  # (B, adm_in) SDXL ADM vector
     cfg: U.UNetConfig = U.SD15_UNET,
     policy: L.Policy = L.DEFAULT_POLICY,
 ):
     """Returns (per-input-block residuals tuple, middle residual) — consumed
-    by ``apply_unet(..., control=...)``."""
+    by ``apply_unet(..., control=...)``. SDXL-layout controlnets carry their
+    own ADM label embedding; pass the same ``y`` the UNet receives."""
     input_plan, _ = U.build_plan(cfg)
-    emb = U._time_label_emb(params, timesteps, None, cfg, policy)
+    emb = U._time_label_emb(params, timesteps, y, cfg, policy)
 
     h = x.astype(policy.compute_dtype)
     context = context.astype(policy.compute_dtype)
@@ -103,7 +105,7 @@ def init_controlnet_params(key, cfg: U.UNetConfig = U.SD15_UNET,
             "bias": jnp.zeros((ch,), dtype),
         }
 
-    return {
+    out = {
         "time_fc1": full["time_fc1"],
         "time_fc2": full["time_fc2"],
         "input_blocks": full["input_blocks"],
@@ -120,3 +122,7 @@ def init_controlnet_params(key, cfg: U.UNetConfig = U.SD15_UNET,
         ),
         "hint": {"convs": tuple(convs), "out": hint_out},
     }
+    if cfg.adm_in_channels:  # SDXL-layout: controlnet has its own ADM MLP
+        out["label_fc1"] = full["label_fc1"]
+        out["label_fc2"] = full["label_fc2"]
+    return out

@@ -103,7 +103,7 @@ class SDPipeline:
 
     def _cache_program(self, key, program):
         self._programs[key] = program
-        if len(self._programs) > self._programs_max:
+        while len(self._programs) > self._programs_max:
             self._programs.popitem(last=False)
 
     def set_tome(self, ratio: float, min_tokens: int = 4096):
@@ -217,7 +217,9 @@ class SDPipeline:
                     jnp.tile(hint, (reps, 1, 1, 1)) if reps > 1 else hint
                 )
                 outs, mid = CN.apply_controlnet(
-                    cn_params, x, hb, t, ctx, cfg=cn_cfg, policy=policy
+                    cn_params, x, hb, t, ctx,
+                    y=y if cn_cfg.adm_in_channels else None,
+                    cfg=cn_cfg, policy=policy,
                 )
                 s = strength.astype(mid.dtype)
                 if s.ndim:  # per-sample strengths (the serving frontend)
@@ -804,6 +806,35 @@ def txt2img(
             cfg=hires_cfg, sampler_name="euler_ancestral", scheduler="normal",
             denoise=hires_denoise,
         )
+    return np.asarray(pipe.decode(latent))
+
+
+def img2img(
+    pipe: SDPipeline,
+    image: np.ndarray,  # (B, H, W, 3) float in [0, 1]
+    prompt: str,
+    negative_prompt: str = "",
+    denoise: float = 0.75,
+    steps: int = 20,
+    cfg: float = 7.0,
+    seed: int = 0,
+    sampler_name: str = "dpmpp_2m_sde",
+    scheduler: str = "karras",
+    control=None,
+) -> np.ndarray:
+    """Plain image-to-image: VAE encode → partial denoise → decode. The
+    standard SD img2img primitive; the reference's only img2img surface is
+    the UltimateSDUpscale tile engine (ref :10325 — see postprocess/usdu.py
+    for that parity path). ``denoise``<1 keeps the last ``steps`` sigmas of
+    the lengthened schedule (ref denoise math :3097-3104)."""
+    positive = pipe.encode_text(prompt)
+    negative = pipe.encode_text(negative_prompt)
+    latent = pipe.encode_image(jnp.asarray(image, jnp.float32), seed=seed)
+    latent = pipe.sample_latent(
+        latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
+        sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,
+        control=control,
+    )
     return np.asarray(pipe.decode(latent))
 
 

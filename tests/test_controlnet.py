@@ -137,6 +137,38 @@ def test_load_controlnet_file_roundtrip(torch_pair, tmp_path):
     )
 
 
+def test_sdxl_layout_controlnet_with_adm():
+    """XL-layout controlnets carry their own ADM label MLP; the pipeline
+    forwards the UNet's y vector to them (previously gated off)."""
+    import jax.numpy as jnp
+
+    xl_cfg = U.UNetConfig(
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
+        transformer_depth=(0, 1), middle_depth=1, context_dim=64,
+        num_heads=-1, num_head_channels=16, use_linear_projections=True,
+        adm_in_channels=40 + 6 * 256, attn_force="xla",
+    )
+    cn = CN.init_controlnet_params(jax.random.PRNGKey(0), xl_cfg)
+    assert "label_fc1" in cn
+    cn["middle_out"]["weight"] = (
+        jax.random.normal(jax.random.PRNGKey(9),
+                          cn["middle_out"]["weight"].shape) * 0.05
+    )  # fresh zero convs emit 0 for any y — give the probe signal
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4), jnp.float32)
+    hint = jax.random.uniform(jax.random.PRNGKey(2), (2, 128, 128, 3))
+    t = jnp.full((2,), 500.0, jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (2, 77, 64), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(4), (2, 40 + 6 * 256),
+                          jnp.float32)
+    outs, mid = CN.apply_controlnet(cn, x, hint, t, ctx, y=y, cfg=xl_cfg,
+                                    policy=L.FP32)
+    assert np.isfinite(np.asarray(mid)).all()
+    # y changes the residuals (the label branch is live)
+    outs2, mid2 = CN.apply_controlnet(cn, x, hint, t, ctx, y=y * 2.0,
+                                      cfg=xl_cfg, policy=L.FP32)
+    assert np.abs(np.asarray(mid2) - np.asarray(mid)).max() > 1e-6
+
+
 def test_controlnet_nodes(torch_pair, tmp_path, monkeypatch):
     """ControlNetLoader + ControlNetApply + KSampler(control=...) node flow."""
     from safetensors.numpy import save_file

@@ -45,6 +45,24 @@ def test_txt2img_end_to_end(pipe):
     assert img.min() >= 0.0 and img.max() <= 1.0
 
 
+def test_img2img_plain(pipe):
+    """Plain encode→partial-denoise→decode img2img (beyond the ref's
+    USDU-only img2img surface)."""
+    from lightdiffusion_tpu.pipelines.sd import img2img
+
+    rng = np.random.RandomState(0)
+    src = rng.rand(1, 32, 32, 3).astype(np.float32)
+    out = img2img(pipe, src, "a painting", "blurry", denoise=0.5, steps=4,
+                  seed=7)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # low denoise keeps the source structure closer than high denoise
+    near = img2img(pipe, src, "a painting", denoise=0.2, steps=4, seed=7)
+    far = img2img(pipe, src, "a painting", denoise=0.9, steps=4, seed=7)
+    assert np.abs(near - src).mean() < np.abs(far - src).mean()
+
+
 def test_program_and_cond_caches_are_bounded(pipe):
     """Long-running serving must not grow the jit-program / cond caches
     without bound (both are LRUs)."""
