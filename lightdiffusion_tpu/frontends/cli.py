@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--cfg-cutoff", type=float, default=None, metavar="FRAC",
                    help="run CFG only for the first FRAC of steps (e.g. 0.6),"
                         " cond-only after — ~1.2-1.4x, slight quality trade")
+    t.add_argument("--freeu", nargs="?", const="1.5,1.6,0.9,0.2",
+                   default=None, metavar="B1,B2,S1,S2",
+                   help="FreeU decoder reweighting (arXiv 2309.11497); bare "
+                        "flag uses the paper's SD1.5 values")
     t.add_argument("--controlnet", default=None, metavar="CKPT",
                    help="ControlNet checkpoint (arXiv 2302.05543); needs "
                         "--control-image")
@@ -207,6 +211,8 @@ def main(argv=None):
             pipe.quantize_unet()
         if args.tome:
             pipe.set_tome(args.tome)
+        if args.freeu:
+            pipe.set_freeu(*[float(v) for v in args.freeu.split(",")])
         control = None
         if args.controlnet:
             import numpy as np

@@ -50,6 +50,10 @@ class UNetConfig:
     # (0 = off). Opt-in accelerator absent in the reference.
     tome_ratio: float = 0.0
     tome_min_tokens: int = 4096
+    # FreeU (arXiv 2309.11497): (b1, b2, s1, s2) — backbone amplification +
+    # skip low-frequency attenuation at the two deepest decoder widths.
+    # () = off. Free quality lever absent in the reference.
+    freeu: tuple = ()
 
     def heads_for(self, channels: int) -> int:
         if self.num_head_channels > 0:
@@ -212,6 +216,44 @@ def spatial_transformer_apply(p, x, context, num_heads, policy, force=None,
     return x + residual
 
 
+def _fourier_lowfreq_scale(x, threshold: int, scale: float):
+    """Scale the lowest spatial frequencies of (B,H,W,C) by ``scale``
+    (FreeU's skip-feature filter, arXiv 2309.11497 — fp32 FFT via XLA)."""
+    xf = jnp.fft.fftshift(
+        jnp.fft.fft2(x.astype(jnp.complex64), axes=(1, 2)), axes=(1, 2)
+    )
+    b, h, w, c = x.shape
+    cr, cc = h // 2, w // 2
+    mask = jnp.ones((1, h, w, 1), jnp.float32)
+    mask = mask.at[
+        :, cr - threshold : cr + threshold, cc - threshold : cc + threshold
+    ].set(scale)
+    out = jnp.fft.ifft2(
+        jnp.fft.ifftshift(xf * mask, axes=(1, 2)), axes=(1, 2)
+    ).real
+    return out.astype(x.dtype)
+
+
+def _apply_freeu(h, skip, cfg: UNetConfig):
+    """FreeU (arXiv 2309.11497): amplify the first half of the backbone
+    channels and low-pass-attenuate the skip at the two deepest decoder
+    widths (the official implementation's 1280/640-channel gates,
+    generalized to model_channels·mult)."""
+    b1, b2, s1, s2 = cfg.freeu
+    ch = h.shape[-1]
+    mults = sorted(set(cfg.channel_mult), reverse=True)
+    if ch == cfg.model_channels * mults[0]:
+        b, s = b1, s1
+    elif len(mults) > 1 and ch == cfg.model_channels * mults[1]:
+        b, s = b2, s2
+    else:
+        return h, skip
+    half = ch // 2
+    h = jnp.concatenate([h[..., :half] * b, h[..., half:]], axis=-1)
+    skip = _fourier_lowfreq_scale(skip, 1, s)
+    return h, skip
+
+
 def downsample_apply(p, x, policy):
     """Stride-2 3×3 conv, torch padding=1 semantics (ref :5155)."""
     return L.conv2d(p["conv"], x, stride=2, padding=[(1, 1), (1, 1)], policy=policy)
@@ -299,6 +341,8 @@ def apply_unet(
 
     for spec, p in zip(output_plan, params["output_blocks"]):
         skip = hs.pop()
+        if cfg.freeu:
+            h, skip = _apply_freeu(h, skip, cfg)
         h = jnp.concatenate([h, skip], axis=-1)
         h = resblock_apply(p["res"], h, emb, policy)
         if spec.kind == "res_attn":

@@ -116,6 +116,18 @@ class SDPipeline:
         self._programs.clear()
         return self
 
+    def set_freeu(self, b1: float | None = 1.5, b2: float = 1.6,
+                  s1: float = 0.9, s2: float = 0.2):
+        """Enable FreeU (arXiv 2309.11497; defaults = the paper's SD1.5
+        values) or disable it with ``set_freeu(None)``. Free quality lever
+        absent in the reference."""
+        self.sd.unet_config = dataclasses.replace(
+            self.sd.unet_config,
+            freeu=() if b1 is None else (b1, b2, s1, s2),
+        )
+        self._programs.clear()
+        return self
+
     def quantize_unet(self, quantize_convs: bool = True):
         """Switch the UNet to the W8A8 int8 inference path (ops/quant.py).
 
