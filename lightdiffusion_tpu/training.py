@@ -162,6 +162,107 @@ def make_train_step(
     return step
 
 
+# ------------------------------------------------------------ LoRA train ----
+_LORA_TARGETS = frozenset(
+    {"to_q", "to_k", "to_v", "to_out", "ff_in", "ff_out"}
+)
+
+
+def init_lora_params(key, unet_params, rank: int = 8,
+                     targets=_LORA_TARGETS) -> dict:
+    """Low-rank adapters {path: {"a" (in,r), "b" (r,out)}} for every targeted
+    transformer linear. ``b`` is zero-initialized (kohya convention: the
+    delta a@b starts at exactly zero), ``a`` is gaussian/√in.
+
+    Inference-time LoRA stays a load-time merge (loader/lora.py, the
+    reference's ModelPatcher collapse); this is the TRAINING side — adapters
+    are a separate differentiable pytree merged functionally per step."""
+    flat = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if (
+                path
+                and path[-1] in targets
+                and "weight" in node
+                and node["weight"].ndim == 2
+            ):
+                flat[path] = node["weight"].shape
+                return
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif isinstance(node, (tuple, list)):
+            for i, v in enumerate(node):
+                walk(v, path + (i,))
+
+    walk(unet_params, ())
+    out = {}
+    for i, (path, (d_in, d_out)) in enumerate(sorted(flat.items())):
+        k = jax.random.fold_in(key, i)
+        out[path] = {
+            "a": jax.random.normal(k, (d_in, rank), jnp.float32)
+            / jnp.sqrt(d_in),
+            "b": jnp.zeros((rank, d_out), jnp.float32),
+        }
+    return out
+
+
+def merge_lora_params(unet_params, lora: dict, scale: float = 1.0):
+    """params tree with W + scale·(a@b) at every adapter path. Pure/traceable
+    — differentiating the result w.r.t. ``lora`` trains the adapters only."""
+
+    def walk(node, path):
+        if path in lora and isinstance(node, dict):
+            p = lora[path]
+            delta = (p["a"] @ p["b"]) * scale
+            new = dict(node)
+            new["weight"] = (
+                node["weight"].astype(jnp.float32) + delta
+            ).astype(node["weight"].dtype)
+            return new
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        if isinstance(node, (tuple, list)):
+            return type(node)(walk(v, path + (i,)) for i, v in enumerate(node))
+        return node
+
+    return walk(unet_params, ())
+
+
+def make_lora_train_step(
+    optimizer: optax.GradientTransformation,
+    model_sampling: DiscreteSampling,
+    unet_cfg: U.UNetConfig,
+    policy: L.Policy = L.BF16,
+    scale: float = 1.0,
+    snr_gamma: float | None = None,
+    remat: bool = False,
+):
+    """Returns jittable (lora, opt_state, base_params, x0, context, key) →
+    (lora, opt_state, loss): fine-tunes the adapters with the base frozen
+    (the standard LoRA recipe, arXiv 2106.09685 applied to diffusion)."""
+    unet_apply = functools.partial(U.apply_unet, cfg=unet_cfg, policy=policy)
+    if remat:
+        unet_apply = jax.checkpoint(unet_apply)
+
+    def loss_fn(lora, base_params, x0, context, key):
+        merged = merge_lora_params(base_params, lora, scale)
+        return diffusion_loss(
+            merged, x0, context, key, model_sampling, unet_cfg, policy,
+            snr_gamma=snr_gamma, unet_apply=unet_apply,
+        )
+
+    def step(lora, opt_state, base_params, x0, context, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            lora, base_params, x0, context, key
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, lora)
+        lora = optax.apply_updates(lora, updates)
+        return lora, opt_state, loss
+
+    return step
+
+
 # ----------------------------------------------------------- train state ----
 def init_train_state(params, optimizer: optax.GradientTransformation,
                      ema: bool = True) -> dict:

@@ -121,6 +121,53 @@ def test_trainer_ema_and_step(params):
     assert float(jnp.max(jnp.abs(e - p0))) <= float(jnp.max(jnp.abs(p1 - p0))) + 1e-8
 
 
+def test_lora_init_zero_delta(params):
+    lora = T.init_lora_params(jax.random.PRNGKey(0), params, rank=4)
+    assert len(lora) > 0
+    for p in lora.values():
+        assert p["a"].shape[1] == 4 and p["b"].shape[0] == 4
+        np.testing.assert_array_equal(np.asarray(p["b"]), 0)
+    merged = T.merge_lora_params(params, lora)
+    # zero-init b ⇒ merge is exactly the base
+    for a, b in zip(jax.tree_util.tree_leaves(merged),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lora_train_step_descends_and_freezes_base(params):
+    ms = make_discrete_sampling("eps")
+    opt = optax.adam(1e-2)
+    lora = T.init_lora_params(jax.random.PRNGKey(0), params, rank=4)
+    step = jax.jit(T.make_lora_train_step(opt, ms, CFG, policy=L.FP32))
+    st = opt.init(lora)
+    x0, ctx = _batch()
+    losses = []
+    lo = lora
+    for i in range(8):
+        lo, st, loss = step(lo, st, params, x0, ctx,
+                            jax.random.PRNGKey(100 + i))
+        losses.append(float(loss))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    # adapters moved; merged weights now differ from the base
+    moved = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(lo),
+                        jax.tree_util.tree_leaves(lora))
+    )
+    assert moved > 0
+    merged = T.merge_lora_params(params, lo)
+    w0 = jax.tree_util.tree_leaves(params)[-1]
+    # spot-check a targeted weight changed while the base tree is untouched
+    sample_path = next(iter(lo))
+    def get(t, path):
+        for p in path:
+            t = t[p]
+        return t["weight"]
+    assert float(jnp.max(jnp.abs(
+        get(merged, sample_path) - get(params, sample_path)
+    ))) > 0
+
+
 def test_train_state_persistence_roundtrip(params, tmp_path):
     opt = optax.adam(1e-3)
     state = T.init_train_state(params, opt)
