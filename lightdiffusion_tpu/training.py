@@ -263,6 +263,50 @@ def make_lora_train_step(
     return step
 
 
+_KOHYA_SUBKEY = {
+    "to_out": "to_out.0",
+    "ff_in": "ff.net.0.proj",
+    "ff_out": "ff.net.2",
+}
+
+
+def _lora_path_to_ldm(path) -> str:
+    """Adapter tree path → LDM module path (the naming loader/lora.py's
+    unet_lora_key_map targets)."""
+    leaf = _KOHYA_SUBKEY.get(path[-1], path[-1])
+    if path[0] == "middle":
+        # ("middle", "attn", "blocks", t, ["attnX"], leaf)
+        t = path[2 + 1]
+        mid = ".".join(str(p) for p in path[4:-1])
+        base = f"middle_block.1.transformer_blocks.{t}"
+    else:
+        # ("input_blocks"|"output_blocks", i, "attn", "blocks", t, ...)
+        blocks, i, t = path[0], path[1], path[4]
+        mid = ".".join(str(p) for p in path[5:-1])
+        base = f"{blocks}.{i}.1.transformer_blocks.{t}"
+    return f"{base}.{mid}.{leaf}" if mid else f"{base}.{leaf}"
+
+
+def export_lora_kohya(lora: dict, path) -> dict:
+    """Write trained adapters as a kohya-format LoRA safetensors file —
+    loadable by loader/lora.py (and the wider SD ecosystem): keys
+    ``lora_unet_<ldm-name>.lora_{down,up}.weight`` + ``.alpha`` = rank
+    (torch layouts: down (r, in), up (out, r))."""
+    import numpy as np_
+    from safetensors.numpy import save_file
+
+    out = {}
+    for p, ab in lora.items():
+        name = "lora_unet_" + _lora_path_to_ldm(p).replace(".", "_")
+        a = np_.asarray(ab["a"], np_.float32)  # (in, r)
+        b = np_.asarray(ab["b"], np_.float32)  # (r, out)
+        out[name + ".lora_down.weight"] = a.T.copy()
+        out[name + ".lora_up.weight"] = b.T.copy()
+        out[name + ".alpha"] = np_.asarray(a.shape[1], np_.float32)
+    save_file(out, str(path))
+    return out
+
+
 # ----------------------------------------------------------- train state ----
 def init_train_state(params, optimizer: optax.GradientTransformation,
                      ema: bool = True) -> dict:

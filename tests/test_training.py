@@ -168,6 +168,36 @@ def test_lora_train_step_descends_and_freezes_base(params):
     ))) > 0
 
 
+def test_lora_kohya_export_roundtrip(params, tmp_path):
+    """Trained adapters export to kohya safetensors that loader/lora.py
+    parses back — every adapter covered, up@down == (a@b)^T at scale 1."""
+    from safetensors.numpy import load_file
+
+    from lightdiffusion_tpu.loader.lora import load_lora, unet_lora_key_map
+
+    lora = T.init_lora_params(jax.random.PRNGKey(0), params, rank=4)
+    # randomize b so deltas are non-zero
+    lora = {
+        p: {"a": ab["a"],
+            "b": jax.random.normal(jax.random.PRNGKey(i), ab["b"].shape) * 0.1}
+        for i, (p, ab) in enumerate(lora.items())
+    }
+    f = tmp_path / "trained_lora.safetensors"
+    T.export_lora_kohya(lora, f)
+    sd = load_file(str(f))
+    key_map = unet_lora_key_map(CFG)
+    patches = load_lora(sd, key_map)
+    assert len(patches) == len(lora)
+    # pick one adapter and check the torch-layout delta matches a@b
+    path, ab = next(iter(lora.items()))
+    ldm = T._lora_path_to_ldm(path)
+    target = key_map["lora_unet_" + ldm.replace(".", "_")] + ".weight"
+    up, down, alpha = patches[target]
+    delta_torch = (np.asarray(up) @ np.asarray(down)) * alpha  # (out, in)
+    delta_tree = np.asarray(ab["a"] @ ab["b"])  # (in, out)
+    np.testing.assert_allclose(delta_torch, delta_tree.T, atol=1e-6)
+
+
 def test_train_state_persistence_roundtrip(params, tmp_path):
     opt = optax.adam(1e-3)
     state = T.init_train_state(params, opt)
