@@ -50,12 +50,16 @@ def make_cfg_denoiser(
     model_sampling: DiscreteSampling,
     y_cond: jnp.ndarray | None = None,  # (B, adm) SDXL vector conditioning
     y_uncond: jnp.ndarray | None = None,
+    concat: jnp.ndarray | None = None,  # (B, h, w, Cc) inpaint-model cond
 ):
     """Returns denoise_fn(x, sigma) → x0 prediction with CFG applied.
 
     x: (B, H, W, 4); sigma: scalar or (B,). One UNet call with batch 2·B:
     [cond ‖ uncond] (ref calc_cond_batch fast path + cfg_function).
     ``y_cond``/``y_uncond``: SDXL ADM vectors, forwarded as unet y.
+    ``concat``: channels appended to the pre-scaled input each step — the
+    9-channel inpainting UNet family's (mask ‖ masked-image-latent)
+    conditioning (beyond the reference's 4-channel-only registry, :6015).
     """
     target = common_context_length(cond.shape[1], uncond.shape[1])
     cond_p = pad_context_to(cond, target)
@@ -74,6 +78,11 @@ def make_cfg_denoiser(
         )
         sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
         x_in = model_sampling.calculate_input(sigma_b, x)
+        if concat is not None:
+            cc = jnp.broadcast_to(
+                concat, (b,) + concat.shape[1:]
+            ).astype(x_in.dtype)
+            x_in = jnp.concatenate([x_in, cc], axis=-1)
         t = model_sampling.timestep(sigma_b)
         x2 = jnp.concatenate([x_in, x_in], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
@@ -104,16 +113,22 @@ def make_cfg_denoiser(
 
 
 def make_denoiser_single(unet_apply, params, cond, model_sampling,
-                         y_cond=None):
+                         y_cond=None, concat=None):
     """No-CFG denoiser: one cond, UNet batch B instead of 2·B. Used for
     cfg_scale == 1.0 and for the tail of CFG-truncated sampling
-    (SDPipeline ``cfg_cutoff``). ``y_cond``: SDXL ADM vector."""
+    (SDPipeline ``cfg_cutoff``). ``y_cond``: SDXL ADM vector; ``concat``:
+    inpaint-model input channels (as in make_cfg_denoiser)."""
 
     def denoise(x, sigma):
         b = x.shape[0]
         context = jnp.broadcast_to(cond, (b,) + cond.shape[1:])
         sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
         x_in = model_sampling.calculate_input(sigma_b, x)
+        if concat is not None:
+            cc = jnp.broadcast_to(
+                concat, (b,) + concat.shape[1:]
+            ).astype(x_in.dtype)
+            x_in = jnp.concatenate([x_in, cc], axis=-1)
         t = model_sampling.timestep(sigma_b)
         if y_cond is not None:
             y = jnp.broadcast_to(y_cond, (b,) + y_cond.shape[1:])

@@ -46,6 +46,7 @@ class SampleConfig:
     has_y: bool = False  # SDXL ADM vector conditioning
     uncond_free: bool = False  # cond-only (no CFG): UNet batch B, not 2·B
     control_cfg: object = None  # ControlNet encoder UNetConfig (None = off)
+    has_concat: bool = False  # 9ch inpaint-model input conditioning
 
 
 class SDPipeline:
@@ -247,7 +248,7 @@ class SDPipeline:
         @jax.jit
         def program(unet_params, noise, latent, cond, uncond, cfg_scale, key,
                     mask=None, y_cond=None, y_uncond=None, cn_params=None,
-                    hint=None, ctrl_strength=None):
+                    hint=None, ctrl_strength=None, concat_cond=None):
             base_apply = unet_apply_y if cfg_key.has_y else unet_apply
             if cfg_key.control_cfg is not None:
                 base_apply = wrap_control(base_apply, cn_params, hint,
@@ -257,11 +258,12 @@ class SDPipeline:
 
                 denoise_fn = make_denoiser_single(
                     base_apply, unet_params, cond, ms, y_cond=y_cond,
+                    concat=concat_cond,
                 )
             else:
                 denoise_fn = make_cfg_denoiser(
                     base_apply, unet_params, cond, uncond, cfg_scale, ms,
-                    y_cond=y_cond, y_uncond=y_uncond,
+                    y_cond=y_cond, y_uncond=y_uncond, concat=concat_cond,
                 )
             if cfg_key.masked:
                 from ..diffusion.inpaint import (
@@ -337,6 +339,7 @@ class SDPipeline:
         noise: jnp.ndarray | None = None,
         cfg_cutoff: float | None = None,
         control=None,  # (cn_params, cn_cfg, hint, strength) — ControlNet
+        concat_cond: jnp.ndarray | None = None,  # (B,h,w,Cc) inpaint models
         _uncond_free: bool = False,
     ) -> jnp.ndarray:
         """The KSampler node (ref KSampler2.sample :6704 / common_ksampler
@@ -404,11 +407,13 @@ class SDPipeline:
             deepcache=(
                 deepcache_interval
                 if noise_mask is None and control is None
+                and concat_cond is None
                 else 0
             ),
             has_y=y_cond is not None,
             uncond_free=_uncond_free,
             control_cfg=control[1] if control is not None else None,
+            has_concat=concat_cond is not None,
         )
         program = self._sample_program(cfg_key, sigmas.tobytes(), step_offset=lo)
         from ..diffusion.noise import keys_for
@@ -457,6 +462,8 @@ class SDPipeline:
             kwargs["cn_params"] = cn_params
             kwargs["hint"] = hint.astype(self.policy.compute_dtype)
             kwargs["ctrl_strength"] = jnp.asarray(strength, jnp.float32)
+        if concat_cond is not None:
+            kwargs["concat_cond"] = jnp.asarray(concat_cond, jnp.float32)
         return program(*args, **kwargs)
 
     def _deepcache_program(self, cfg_key: SampleConfig, sigmas: np.ndarray,
@@ -846,6 +853,59 @@ def img2img(
         latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
         sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,
         control=control,
+    )
+    return np.asarray(pipe.decode(latent))
+
+
+def inpaint_conditioning(pipe: SDPipeline, pixels, mask, seed: int = 0):
+    """Build the 9-channel inpaint-model input conditioning: concat latent
+    ``[mask ‖ VAE(masked pixels)]`` at latent resolution (the ComfyUI
+    InpaintModelConditioning convention; the reference registers only the
+    4-channel SD1.5, ref :6015). ``pixels``: (B,H,W,3) in [0,1]; ``mask``:
+    (B,H,W,1), 1 = region to repaint. Returns (B,h,w,5)."""
+    pixels = jnp.asarray(pixels, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+    if mask.ndim == 3:
+        mask = mask[..., None]
+    masked = pixels * (1.0 - mask)
+    lat = pipe.encode_image(masked, seed=seed)
+    m_lat = jax.image.resize(
+        mask, (mask.shape[0],) + lat.shape[1:3] + (1,), "nearest"
+    )
+    return jnp.concatenate([m_lat, lat], axis=-1)
+
+
+def inpaint(
+    pipe: SDPipeline,
+    image: np.ndarray,  # (B, H, W, 3) in [0, 1]
+    mask: np.ndarray,  # (B, H, W, 1), 1 = repaint
+    prompt: str,
+    negative_prompt: str = "",
+    steps: int = 20,
+    cfg: float = 7.0,
+    seed: int = 0,
+    sampler_name: str = "euler_ancestral",
+    scheduler: str = "karras",
+) -> np.ndarray:
+    """Inpainting with a dedicated 9-channel inpaint UNet (in_channels 9,
+    auto-sniffed at load): full-denoise from noise with the per-step
+    [mask ‖ masked-image-latent] concat conditioning. For 4-channel models
+    use ``sample_latent(noise_mask=...)`` (latent-space masked blending)
+    instead."""
+    if pipe.sd.unet_config.in_channels <= 4:
+        raise ValueError(
+            "inpaint() needs a 9-channel inpaint UNet (this model has "
+            f"in_channels={pipe.sd.unet_config.in_channels}); use "
+            "sample_latent(noise_mask=...) for standard models"
+        )
+    positive = pipe.encode_text(prompt)
+    negative = pipe.encode_text(negative_prompt)
+    concat = inpaint_conditioning(pipe, image, mask, seed=seed)
+    h_px, w_px = image.shape[1], image.shape[2]
+    latent = pipe.empty_latent(w_px, h_px, image.shape[0])
+    latent = pipe.sample_latent(
+        latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
+        sampler_name=sampler_name, scheduler=scheduler, concat_cond=concat,
     )
     return np.asarray(pipe.decode(latent))
 
