@@ -212,7 +212,13 @@ def main(argv=None):
         if args.tome:
             pipe.set_tome(args.tome)
         if args.freeu:
-            pipe.set_freeu(*[float(v) for v in args.freeu.split(",")])
+            vals = [float(v) for v in args.freeu.split(",")]
+            if len(vals) != 4:
+                raise SystemExit(
+                    f"--freeu needs exactly 4 values B1,B2,S1,S2 "
+                    f"(got {len(vals)})"
+                )
+            pipe.set_freeu(*vals)
         control = None
         if args.controlnet:
             import numpy as np

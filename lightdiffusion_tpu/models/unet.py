@@ -437,7 +437,10 @@ def apply_unet_cached(
         )
         h = resblock_apply(params["middle"]["res2"], h, emb, policy)
         for spec, p in zip(output_plan[:n_do], params["output_blocks"][:n_do]):
-            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            skip = hs.pop()
+            if cfg.freeu:
+                h, skip = _apply_freeu(h, skip, cfg)
+            h = jnp.concatenate([h, skip], axis=-1)
             h = resblock_apply(p["res"], h, emb, policy)
             if spec.kind == "res_attn":
                 h = spatial_transformer_apply(
@@ -455,7 +458,10 @@ def apply_unet_cached(
     hs_shallow.pop()  # junction skip: consumed inside deep()
     h = new_cache.astype(policy.compute_dtype)
     for spec, p in zip(output_plan[n_do:], params["output_blocks"][n_do:]):
-        h = jnp.concatenate([h, hs_shallow.pop()], axis=-1)
+        skip = hs_shallow.pop()
+        if cfg.freeu:
+            h, skip = _apply_freeu(h, skip, cfg)
+        h = jnp.concatenate([h, skip], axis=-1)
         h = resblock_apply(p["res"], h, emb, policy)
         if spec.kind == "res_attn":
             h = spatial_transformer_apply(

@@ -229,8 +229,12 @@ class SDPipeline:
                 hb = (
                     jnp.tile(hint, (reps, 1, 1, 1)) if reps > 1 else hint
                 )
+                # the control encoder sees only the latent channels — for
+                # 9ch inpaint models x carries extra concat channels the
+                # 4ch ControlNet conv_in must not receive
+                x_cn = x[..., : cn_cfg.in_channels]
                 outs, mid = CN.apply_controlnet(
-                    cn_params, x, hb, t, ctx,
+                    cn_params, x_cn, hb, t, ctx,
                     y=y if cn_cfg.adm_in_channels else None,
                     cfg=cn_cfg, policy=policy,
                 )
@@ -381,12 +385,14 @@ class SDPipeline:
                 denoise=denoise, disable_noise=disable_noise,
                 deepcache_interval=deepcache_interval,
                 start_step=0, last_step=k, noise=noise, control=control,
+                concat_cond=concat_cond,
             )
             return self.sample_latent(
                 x, positive, negative, seed=seed, steps=steps, cfg=cfg,
                 sampler_name=sampler_name, scheduler=scheduler,
                 denoise=denoise, disable_noise=True,
-                start_step=k, control=control, _uncond_free=True,
+                start_step=k, control=control, concat_cond=concat_cond,
+                _uncond_free=True,
             )
         cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
         uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
@@ -867,7 +873,10 @@ def inpaint_conditioning(pipe: SDPipeline, pixels, mask, seed: int = 0):
     mask = jnp.asarray(mask, jnp.float32)
     if mask.ndim == 3:
         mask = mask[..., None]
-    masked = pixels * (1.0 - mask)
+    # fill the hole with 0.5 gray (= 0 after the VAE's [-1,1] shift) — the
+    # distribution sd-1.5-inpainting was trained on; a plain zero would
+    # encode BLACK and bias fills dark
+    masked = (pixels - 0.5) * (1.0 - mask) + 0.5
     lat = pipe.encode_image(masked, seed=seed)
     m_lat = jax.image.resize(
         mask, (mask.shape[0],) + lat.shape[1:3] + (1,), "nearest"

@@ -287,11 +287,13 @@ def _lora_path_to_ldm(path) -> str:
     return f"{base}.{mid}.{leaf}" if mid else f"{base}.{leaf}"
 
 
-def export_lora_kohya(lora: dict, path) -> dict:
+def export_lora_kohya(lora: dict, path, scale: float = 1.0) -> dict:
     """Write trained adapters as a kohya-format LoRA safetensors file —
     loadable by loader/lora.py (and the wider SD ecosystem): keys
-    ``lora_unet_<ldm-name>.lora_{down,up}.weight`` + ``.alpha`` = rank
-    (torch layouts: down (r, in), up (out, r))."""
+    ``lora_unet_<ldm-name>.lora_{down,up}.weight`` + ``.alpha``
+    (torch layouts: down (r, in), up (out, r)). Pass the SAME ``scale``
+    given to make_lora_train_step — it folds into alpha (= rank·scale), so
+    loading at strength 1 reproduces the trained delta exactly."""
     import numpy as np_
     from safetensors.numpy import save_file
 
@@ -302,7 +304,7 @@ def export_lora_kohya(lora: dict, path) -> dict:
         b = np_.asarray(ab["b"], np_.float32)  # (r, out)
         out[name + ".lora_down.weight"] = a.T.copy()
         out[name + ".lora_up.weight"] = b.T.copy()
-        out[name + ".alpha"] = np_.asarray(a.shape[1], np_.float32)
+        out[name + ".alpha"] = np_.asarray(a.shape[1] * scale, np_.float32)
     save_file(out, str(path))
     return out
 

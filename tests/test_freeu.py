@@ -45,6 +45,24 @@ def test_freeu_changes_output_and_unit_params_are_identity():
     np.testing.assert_allclose(unit, base, atol=1e-4, rtol=1e-4)
 
 
+def test_freeu_active_in_deepcache_path():
+    """apply_unet_cached applies FreeU too (regression: --freeu --deepcache
+    silently ignored FreeU)."""
+    from tests.test_quant import _tiny_pipe
+
+    pipe = _tiny_pipe()
+    pos = pipe.encode_text("a cat")
+    neg = pipe.encode_text("")
+    latent = pipe.empty_latent(64, 64, 1)
+    kw = dict(seed=3, steps=4, cfg=7.0, sampler_name="euler_ancestral",
+              deepcache_interval=2)
+    base = np.asarray(pipe.sample_latent(latent, pos, neg, **kw))
+    pipe.set_freeu()
+    on = np.asarray(pipe.sample_latent(latent, pos, neg, **kw))
+    assert np.isfinite(on).all()
+    assert np.abs(on - base).max() > 1e-6
+
+
 def test_pipeline_set_freeu():
     from tests.test_quant import _tiny_pipe
 

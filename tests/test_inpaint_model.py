@@ -43,9 +43,25 @@ def pipe():
 
 
 def test_detect_9ch_config():
-    """detect_unet_config reads in_channels from conv_in (9 for inpaint)."""
-    params = U.init_unet_params(jax.random.PRNGKey(0), INPAINT_CFG)
-    assert params["input_blocks"][0]["conv"]["weight"].shape[2] == 9
+    """detect_unet_config sniffs in_channels=9 from a real torch-layout
+    inpaint-model state dict (the 'auto-sniffed at load' contract)."""
+    torch = pytest.importorskip("torch")
+    from lightdiffusion_tpu.loader.unet_weights import detect_unet_config
+    from tests.torch_ldm_ref import MiniLDMUNet
+
+    torch.manual_seed(0)
+    model = MiniLDMUNet(
+        in_ch=9, out_ch=4, model_ch=32, channel_mult=(1, 2), num_res=(1, 1),
+        depths=(1, 0), context_dim=64, heads=2,
+    )
+    sd = {
+        "model.diffusion_model." + k: v.numpy()
+        for k, v in model.state_dict().items()
+    }
+    cfg = detect_unet_config(sd)
+    assert cfg.in_channels == 9
+    assert cfg.out_channels == 4
+    assert cfg.channel_mult == (1, 2)
 
 
 def test_inpaint_conditioning_shapes(pipe):
@@ -72,6 +88,55 @@ def test_inpaint_end_to_end(pipe):
     mask2[:, :16, :16] = 1.0
     out2 = inpaint(pipe, img, mask2, "a cat", "blurry", steps=3, seed=5)
     assert np.abs(out - out2).max() > 1e-6
+
+
+def test_inpaint_composes_with_cfg_cutoff_and_controlnet(pipe):
+    """concat_cond forwards through the cfg_cutoff recursion, and a 4ch
+    ControlNet sees only the latent channels of a 9ch model's input."""
+    from lightdiffusion_tpu.models import controlnet as CN
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 64, 64, 3).astype(np.float32)
+    mask = np.zeros((1, 64, 64, 1), np.float32)
+    mask[:, 16:48, 16:48] = 1.0
+    cc = inpaint_conditioning(pipe, img, mask)
+    pos = pipe.encode_text("a cat")
+    neg = pipe.encode_text("")
+    latent = pipe.empty_latent(64, 64, 1)
+    out = pipe.sample_latent(
+        latent, pos, neg, seed=3, steps=4, cfg=7.0, concat_cond=cc,
+        cfg_cutoff=0.5,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+    cn_cfg = U.UNetConfig(  # standard 4-channel controlnet
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
+        transformer_depth=(1, 0), context_dim=64, num_heads=2,
+        attn_force="xla",
+    )
+    cn = CN.init_controlnet_params(jax.random.PRNGKey(1), cn_cfg)
+    hint = jax.random.uniform(jax.random.PRNGKey(5), (1, 256, 256, 3))
+    out2 = pipe.sample_latent(
+        latent, pos, neg, seed=3, steps=2, cfg=7.0, concat_cond=cc,
+        control=(cn, cn_cfg, hint, 1.0),
+    )
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_inpaint_masked_fill_is_gray(pipe):
+    """The hole encodes as 0.5 gray (the sd-1.5-inpainting training
+    distribution), not black."""
+    img = np.ones((1, 64, 64, 3), np.float32)  # white image
+    mask = np.ones((1, 64, 64, 1), np.float32)  # repaint everything
+    cc = inpaint_conditioning(pipe, img, mask)
+    all_gray = inpaint_conditioning(
+        pipe, np.full((1, 64, 64, 3), 0.5, np.float32),
+        np.zeros((1, 64, 64, 1), np.float32),
+    )
+    # fully-masked white image ≡ unmasked gray image in the latent half
+    np.testing.assert_allclose(
+        np.asarray(cc[..., 1:]), np.asarray(all_gray[..., 1:]), atol=1e-5
+    )
 
 
 def test_inpaint_rejects_4ch_models():

@@ -196,6 +196,12 @@ def test_lora_kohya_export_roundtrip(params, tmp_path):
     delta_torch = (np.asarray(up) @ np.asarray(down)) * alpha  # (out, in)
     delta_tree = np.asarray(ab["a"] @ ab["b"])  # (in, out)
     np.testing.assert_allclose(delta_torch, delta_tree.T, atol=1e-6)
+    # a train-time scale folds into alpha so strength-1 load reproduces it
+    f2 = tmp_path / "scaled.safetensors"
+    T.export_lora_kohya(lora, f2, scale=2.0)
+    patches2 = load_lora(load_file(str(f2)), key_map)
+    _, _, alpha2 = patches2[target]
+    np.testing.assert_allclose(alpha2, 2.0 * alpha, atol=1e-6)
 
 
 def test_train_state_persistence_roundtrip(params, tmp_path):
