@@ -56,6 +56,7 @@ log = logging.getLogger(__name__)
 _ALLOWED = {
     "prompt", "negative_prompt", "width", "height", "steps", "cfg", "seed",
     "sampler", "scheduler", "format", "control_image", "control_strength",
+    "cfg_cutoff",
 }
 
 
@@ -71,7 +72,8 @@ class _Request:
     def group_key(self):
         p = self.params
         return (p["width"], p["height"], p["steps"], p["sampler"],
-                p["scheduler"], p["control_image"] is not None)
+                p["scheduler"], p["control_image"] is not None,
+                p["cfg_cutoff"])
 
 
 class GenerationServer:
@@ -158,11 +160,18 @@ class GenerationServer:
             "format": str(params.get("format", "png")),
             "control_image": None,
             "control_strength": float(params.get("control_strength", 1.0)),
+            "cfg_cutoff": (
+                float(params["cfg_cutoff"])
+                if params.get("cfg_cutoff") is not None
+                else None
+            ),
         }
         if not (64 <= p["width"] <= 2048 and 64 <= p["height"] <= 2048):
             raise ValueError("width/height out of range [64, 2048]")
         if not (1 <= p["steps"] <= 200):
             raise ValueError("steps out of range [1, 200]")
+        if p["cfg_cutoff"] is not None and not (0.0 < p["cfg_cutoff"] < 1.0):
+            raise ValueError("cfg_cutoff must be in (0, 1)")
         if params.get("control_image") is not None:
             if self.controlnet is None:
                 raise ValueError(
@@ -282,7 +291,7 @@ class GenerationServer:
                     seed=[r.params["seed"] for r in group],
                     steps=p0["steps"], cfg=cfg,
                     sampler_name=p0["sampler"], scheduler=p0["scheduler"],
-                    control=control,
+                    control=control, cfg_cutoff=p0["cfg_cutoff"],
                 )
                 # hand the UN-synCED device array to the drainer: the next
                 # batch's programs dispatch while this one transfers

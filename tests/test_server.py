@@ -350,6 +350,20 @@ def test_generation_server_validates(pipe):
             gen.submit({"prompt": "x", "width": 17})
         with pytest.raises(ValueError):
             gen.submit({"prompt": "x", "bogus_field": 1})
+        with pytest.raises(ValueError):
+            gen.submit({"prompt": "x", "cfg_cutoff": 1.5})
+    finally:
+        gen.shutdown()
+
+
+def test_server_cfg_cutoff_requests(pipe):
+    """Per-request cfg_cutoff is part of the compile key and flows through."""
+    gen = GenerationServer(pipe, max_wait_ms=5.0)
+    try:
+        img = gen.submit({"prompt": "a cat", "width": 64, "height": 64,
+                          "steps": 4, "cfg_cutoff": 0.5})
+        assert img.shape == (64, 64, 3)
+        assert np.isfinite(img).all()
     finally:
         gen.shutdown()
 
