@@ -104,6 +104,8 @@ class GenerationController:
         progress_cb=None,  # fn(done, total)
         random_init: bool = False,
         int8: bool = False,
+        tome: bool = False,  # ToMe 0.5 (ops/tome.py)
+        freeu: bool = False,  # FreeU paper defaults (models/unet.py)
     ) -> np.ndarray | None:
         from ..models.taesd import latent_to_rgb_preview
 
@@ -114,7 +116,7 @@ class GenerationController:
             return self._generate_locked(
                 prompt, neg, width, height, cfg, seed, steps, sampler_name,
                 scheduler, hires_fix, adetailer, enhance, preview_cb,
-                progress_cb, random_init, int8,
+                progress_cb, random_init, int8, tome, freeu,
             )
         finally:
             self._run_lock.release()
@@ -122,12 +124,16 @@ class GenerationController:
     def _generate_locked(self, prompt, neg, width, height, cfg, seed, steps,
                          sampler_name, scheduler, hires_fix, adetailer,
                          enhance, preview_cb, progress_cb, random_init,
-                         int8=False):
+                         int8=False, tome=False, freeu=False):
         from ..models.taesd import latent_to_rgb_preview
 
         self.interrupt_flag = False  # the reference forgets this (:10794)
         pipe = self.prep(self.current_checkpoint, self.current_lora,
                          random_init=random_init, int8=int8)
+        if tome != (pipe.sd.unet_config.tome_ratio > 0):
+            pipe.set_tome(0.5 if tome else 0.0)
+        if freeu != bool(pipe.sd.unet_config.freeu):
+            pipe.set_freeu() if freeu else pipe.set_freeu(None)
         if enhance:
             from .enhancer import enhance_prompt
 
@@ -225,9 +231,13 @@ def main():  # pragma: no cover - needs a display
     enh_var = tk.BooleanVar()
     prev_var = tk.BooleanVar(value=True)
     int8_var = tk.BooleanVar()  # the ref's Stable-Fast accel slot (:10184)
+    tome_var = tk.BooleanVar()
+    freeu_var = tk.BooleanVar()
     for label, var in [("Hires Fix", hires_var), ("Adetailer", adet_var),
                        ("Prompt enhancer", enh_var), ("Previewer", prev_var),
-                       ("Int8 accelerator", int8_var)]:
+                       ("Int8 accelerator", int8_var),
+                       ("ToMe accelerator", tome_var),
+                       ("FreeU quality", freeu_var)]:
         tk.Checkbutton(side, text=label, variable=var).pack(anchor="w")
 
     display = tk.Label(root, bg="#202020")
@@ -275,7 +285,8 @@ def main():  # pragma: no cover - needs a display
                     0, root.title, f"LightDiffusion-TPU — {d}/{t}"
                 ),
                 random_init=ckpt_var.get() == "random-init",
-                int8=int8_var.get(),
+                int8=int8_var.get(), tome=tome_var.get(),
+                freeu=freeu_var.get(),
             )
             if imgs is not None:
                 from ..nodes import SaveImage

@@ -141,6 +141,38 @@ def test_generation_controller_headless(monkeypatch):
     assert out is None
 
 
+def test_generation_controller_tome_freeu_toggles():
+    """generate(tome=/freeu=) flips the pipeline accelerators per run."""
+    import jax
+    from tests.test_pipeline import TINY_UNET, TINY_VAE, TINY_CLIP
+    from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
+    from lightdiffusion_tpu.models import unet as U, vae as V, clip as C
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.diffusion.parameterization import make_discrete_sampling
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+    from lightdiffusion_tpu.frontends.gui import GenerationController
+
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    sd = StableDiffusion(
+        unet_params=U.init_unet_params(k[0], TINY_UNET), unet_config=TINY_UNET,
+        clip_params=C.init_clip_params(k[1], TINY_CLIP), clip_config=TINY_CLIP,
+        vae_params=V.init_vae_params(k[2], TINY_VAE), vae_config=TINY_VAE,
+        model_sampling=make_discrete_sampling("eps"),
+    )
+    ctl = GenerationController()
+    ctl.pipe = SDPipeline(sd, policy=L.FP32)
+    ctl.current_checkpoint = "x"
+    imgs = ctl.generate("a cat", "", 32, 32, 7.0, steps=2,
+                        sampler_name="euler_ancestral", tome=True, freeu=True)
+    assert imgs is not None and imgs.shape == (1, 32, 32, 3)
+    assert ctl.pipe.sd.unet_config.tome_ratio == 0.5
+    assert ctl.pipe.sd.unet_config.freeu != ()
+    ctl.generate("a cat", "", 32, 32, 7.0, steps=2,
+                 sampler_name="euler_ancestral")
+    assert ctl.pipe.sd.unet_config.tome_ratio == 0.0
+    assert ctl.pipe.sd.unet_config.freeu == ()
+
+
 def test_generation_controller_int8_toggle(monkeypatch):
     """The Int8-accelerator checkbox (the ref's Stable-Fast slot, :10184)
     quantizes on prep and un-quantizes by reloading when toggled off."""
