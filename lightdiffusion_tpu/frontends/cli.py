@@ -229,9 +229,13 @@ def main(argv=None):
             if not args.control_image:
                 raise SystemExit("--controlnet needs --control-image")
             cn_params, cn_cfg = load_controlnet(args.controlnet)
+            # hint target is latent*8 (like server.py): the hint encoder
+            # downsamples x8, and the residual add requires the latent grid
+            # exactly, so non-multiple-of-8 sizes must round down here
+            r = pipe.sd.vae_config.downscale_ratio
             hint = np.asarray(
                 Image.open(args.control_image).convert("RGB").resize(
-                    (args.width, args.height)
+                    (args.width // r * 8, args.height // r * 8)
                 ),
                 np.float32,
             )[None] / 255.0

@@ -37,6 +37,7 @@ class GenerationController:
         self.interrupt_flag = False
         self.current_checkpoint = None
         self.current_lora = None
+        self.current_lora_strength = 1.0
         self.current_int8 = False
         self._taesd = self._try_load_taesd()
         # single-flight: a second Generate while one runs would contend for
@@ -60,21 +61,28 @@ class GenerationController:
         self.interrupt_flag = True
 
     def prep(self, checkpoint: str | None, lora: str | None = None,
-             random_init: bool = False, int8: bool = False):
+             random_init: bool = False, int8: bool = False,
+             lora_strength: float = 1.0):
         """(Re)load when the selection changed (ref _prep :10455). ``int8``
         fills the reference's Stable-Fast accelerator toggle slot
         (:10184-10220) — here jit is always on, so the opt-in accelerator
-        is the W8A8 quantized UNet (ops/quant.py)."""
+        is the W8A8 quantized UNet (ops/quant.py). ``lora_strength`` applies
+        to both model and clip towers (the ref's img2img path reloads the
+        LoRA at strength 2/2, :10345-10355)."""
         if (
             self.pipe is not None
             and checkpoint == self.current_checkpoint
             and lora == self.current_lora
             and int8 == self.current_int8
+            and lora_strength == self.current_lora_strength
         ):
             return self.pipe
         from .headless import load_default_pipeline
 
-        loras = [(lora, 1.0, 1.0)] if lora and lora != "None" else []
+        loras = (
+            [(lora, lora_strength, lora_strength)]
+            if lora and lora != "None" else []
+        )
         self.pipe = load_default_pipeline(
             checkpoint=checkpoint, loras=loras, clip_skip=-2,
             random_init=random_init,
@@ -83,6 +91,7 @@ class GenerationController:
             self.pipe.quantize_unet()
         self.current_checkpoint = checkpoint
         self.current_lora = lora
+        self.current_lora_strength = lora_strength
         self.current_int8 = int8
         return self.pipe
 
@@ -216,6 +225,26 @@ def main():  # pragma: no cover - needs a display
     ttk.Combobox(side, textvariable=ckpt_var, values=ckpts).pack(fill="x")
     ttk.Combobox(side, textvariable=lora_var, values=loras).pack(fill="x")
 
+    def preload():
+        # checkpoint preload + AOT warmup on a daemon thread at startup
+        # (ref _prep thread :10243) so the first Generate is warm; the
+        # single-flight lock in ctl.generate keeps this race-free
+        try:
+            with ctl._run_lock:
+                pipe = ctl.prep(
+                    None if ckpt_var.get() == "random-init" else ckpt_var.get(),
+                    lora_var.get(),
+                    random_init=ckpt_var.get() == "random-init",
+                )
+                from ..runtime.warmup import warmup
+
+                warmup(pipe, buckets=[(saved.width, saved.height, 20,
+                                       "dpmpp_2m_sde", "karras", 1.0)])
+        except Exception:
+            log.exception("startup preload failed (first Generate pays it)")
+
+    threading.Thread(target=preload, daemon=True).start()
+
     w_var = tk.IntVar(value=saved.width)
     h_var = tk.IntVar(value=saved.height)
     cfg_var = tk.DoubleVar(value=saved.cfg)
@@ -305,9 +334,12 @@ def main():  # pragma: no cover - needs a display
             from ..postprocess.usdu import ultimate_sd_upscale
             from ..nodes import SaveImage
 
+            # the reference's img2img reloads the LoRA at strength 2/2
+            # (:10345-10355)
             pipe = ctl.prep(
                 None if ckpt_var.get() == "random-init" else ckpt_var.get(),
                 lora_var.get(), random_init=ckpt_var.get() == "random-init",
+                lora_strength=2.0,
             )
             img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
             out = ultimate_sd_upscale(

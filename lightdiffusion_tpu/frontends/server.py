@@ -53,6 +53,12 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
+# Request-size caps: the server binds 0.0.0.0 by default, so an oversized
+# body (or a base64 bomb in control_image) must be rejected before it is
+# buffered/decoded, not after.
+MAX_BODY_BYTES = 8 << 20
+MAX_CONTROL_IMAGE_BYTES = 16 << 20
+
 _ALLOWED = {
     "prompt", "negative_prompt", "width", "height", "steps", "cfg", "seed",
     "sampler", "scheduler", "format", "control_image", "control_strength",
@@ -123,8 +129,34 @@ class GenerationServer:
         self._stop.set()
         self._queue.put(None)  # wake the worker
         self._worker.join(timeout=5)
-        self._pending.put(None)  # wake the drainer
+        # Wake the drainer without ever blocking: if _pending is full (the
+        # worker may even be stuck in its put()), drain items ourselves and
+        # fail their waiters until the sentinel fits.
+        while True:
+            try:
+                self._pending.put_nowait(None)
+                break
+            except queue.Full:
+                try:
+                    item = self._pending.get_nowait()
+                except queue.Empty:
+                    continue
+                if item is not None:
+                    for r in item[0]:
+                        r.error = RuntimeError("server shutting down")
+                        r.event.set()
         self._drainer.join(timeout=5)
+        # fail any groups the drainer never reached (e.g. enqueued after the
+        # sentinel by a worker that outlived its join timeout)
+        while True:
+            try:
+                item = self._pending.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                for r in item[0]:
+                    r.error = RuntimeError("server shutting down")
+                    r.event.set()
         # fail any requests still queued/deferred so their waiters unblock
         # immediately instead of hitting the submit() timeout
         leftovers = list(self._backlog)
@@ -184,6 +216,11 @@ class GenerationServer:
             from PIL import Image
 
             raw = base64.b64decode(params["control_image"])
+            if len(raw) > MAX_CONTROL_IMAGE_BYTES:
+                raise ValueError(
+                    f"control_image too large "
+                    f"(>{MAX_CONTROL_IMAGE_BYTES >> 20} MB decoded)"
+                )
             img = Image.open(_io.BytesIO(raw)).convert("RGB")
             # the hint encoder downsamples ×8 to latent resolution, so the
             # hint target is latent·8 (== pixel size for the SD ratio-8 VAE)
@@ -373,6 +410,9 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             n = int(self.headers.get("Content-Length", 0))
+            if n > MAX_BODY_BYTES:
+                self._json(413, {"error": "request body too large"})
+                return
             params = json.loads(self.rfile.read(n) or b"{}")
             image = gen.submit(params)
         except (ValueError, KeyError) as e:

@@ -113,7 +113,7 @@ def conv2d_q8(p: dict, x: jnp.ndarray, stride=1, padding="SAME",
 # Param-dict names never quantized: embedding MLPs are per-image (negligible
 # FLOPs, quality-sensitive), norms are not matmuls.
 _SKIP_NAMES = frozenset(
-    {"time_fc1", "time_fc2", "label_fc1", "label_fc2", "emb", "out_conv"}
+    {"time_fc1", "time_fc2", "label_fc1", "label_fc2", "emb"}
 )
 
 
@@ -136,6 +136,11 @@ def quantize_unet_params(params: dict, quantize_convs: bool = True) -> dict:
         if _is_layer_dict(node):
             name = path[-1] if path else None
             if name in _SKIP_NAMES:
+                return node
+            # The FINAL projection is the top-level "out_conv"; resblocks'
+            # second 3x3 conv shares the name but carries ~half the conv
+            # FLOPs and MUST quantize — skip by path, not by name.
+            if name == "out_conv" and len(path) == 1:
                 return node
             w = node["weight"]
             if w.ndim == 2:

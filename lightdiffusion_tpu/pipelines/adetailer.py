@@ -19,9 +19,9 @@ from ..postprocess.detailer import bboxes_to_segs, detail_segs, segs_bitwise_and
 
 log = logging.getLogger(__name__)
 
-DETAIL_PROMPT = (
-    "flawless skin, perfect eyes, detailed face, best quality, masterpiece"
-)
+# The reference's exact hardcoded detail-pass positive prompt (:10528-10531),
+# typo included.
+DETAIL_PROMPT = "royal, detailed, magnificient, beautiful, seducing"
 
 
 def load_detectors(person_model: str = "person_yolov8m-seg.pt",

@@ -81,8 +81,10 @@ def test_quantize_unet_params_skips_boundary_layers():
     assert blk["ff_in"]["weight_q8"].dtype == jnp.int8
     # norms untouched
     assert "weight" in blk["ln1"] and blk["ln1"]["weight"].ndim == 1
-    # resblock 3x3 convs quantize
+    # resblock 3x3 convs quantize — including the second conv, which shares
+    # the name "out_conv" with the (skipped) top-level final projection
     assert q["input_blocks"][1]["res"]["in_conv"]["weight_q8"].dtype == jnp.int8
+    assert q["input_blocks"][1]["res"]["out_conv"]["weight_q8"].dtype == jnp.int8
     n, _ = Q.count_quantized(q)
     assert n > 10
 
