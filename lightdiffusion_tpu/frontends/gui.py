@@ -115,6 +115,7 @@ class GenerationController:
         int8: bool = False,
         tome: bool = False,  # ToMe 0.5 (ops/tome.py)
         freeu: bool = False,  # FreeU paper defaults (models/unet.py)
+        deepcache: bool = False,  # DeepCache interval 2 (chunked-capable)
     ) -> np.ndarray | None:
         from ..models.taesd import latent_to_rgb_preview
 
@@ -125,7 +126,7 @@ class GenerationController:
             return self._generate_locked(
                 prompt, neg, width, height, cfg, seed, steps, sampler_name,
                 scheduler, hires_fix, adetailer, enhance, preview_cb,
-                progress_cb, random_init, int8, tome, freeu,
+                progress_cb, random_init, int8, tome, freeu, deepcache,
             )
         finally:
             self._run_lock.release()
@@ -133,7 +134,8 @@ class GenerationController:
     def _generate_locked(self, prompt, neg, width, height, cfg, seed, steps,
                          sampler_name, scheduler, hires_fix, adetailer,
                          enhance, preview_cb, progress_cb, random_init,
-                         int8=False, tome=False, freeu=False):
+                         int8=False, tome=False, freeu=False,
+                         deepcache=False):
         from ..models.taesd import latent_to_rgb_preview
 
         self.interrupt_flag = False  # the reference forgets this (:10794)
@@ -170,10 +172,11 @@ class GenerationController:
         positive = pipe.encode_text(prompt)
         negative = pipe.encode_text(neg)
         latent = pipe.empty_latent(width, height, 1)
+        dc = 2 if deepcache else 0
         latent = pipe.sample_latent_chunked(
             latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
             sampler_name=sampler_name, scheduler=scheduler, chunk_size=5,
-            on_chunk=on_chunk,
+            on_chunk=on_chunk, deepcache_interval=dc,
         )
         if self.interrupt_flag:
             return None
@@ -183,6 +186,7 @@ class GenerationController:
                 latent, positive, negative, seed=seed, steps=10, cfg=8.0,
                 sampler_name="euler_ancestral", scheduler="normal",
                 denoise=0.45, chunk_size=5, on_chunk=on_chunk,
+                deepcache_interval=dc,
             )
         if self.interrupt_flag:
             return None
@@ -262,10 +266,12 @@ def main():  # pragma: no cover - needs a display
     int8_var = tk.BooleanVar()  # the ref's Stable-Fast accel slot (:10184)
     tome_var = tk.BooleanVar()
     freeu_var = tk.BooleanVar()
+    deepcache_var = tk.BooleanVar()
     for label, var in [("Hires Fix", hires_var), ("Adetailer", adet_var),
                        ("Prompt enhancer", enh_var), ("Previewer", prev_var),
                        ("Int8 accelerator", int8_var),
                        ("ToMe accelerator", tome_var),
+                       ("DeepCache accelerator", deepcache_var),
                        ("FreeU quality", freeu_var)]:
         tk.Checkbutton(side, text=label, variable=var).pack(anchor="w")
 
@@ -315,7 +321,7 @@ def main():  # pragma: no cover - needs a display
                 ),
                 random_init=ckpt_var.get() == "random-init",
                 int8=int8_var.get(), tome=tome_var.get(),
-                freeu=freeu_var.get(),
+                freeu=freeu_var.get(), deepcache=deepcache_var.get(),
             )
             if imgs is not None:
                 from ..nodes import SaveImage

@@ -47,6 +47,63 @@ class SampleConfig:
     uncond_free: bool = False  # cond-only (no CFG): UNet batch B, not 2·B
     control_cfg: object = None  # ControlNet encoder UNetConfig (None = off)
     has_concat: bool = False  # 9ch inpaint-model input conditioning
+    # sampler options (eta/s_noise/pcoeff/...) as a sorted item tuple so the
+    # frozen config stays hashable (ref sampler signatures :1118-1140)
+    options: tuple = ()
+
+
+def _make_deepcache_cfg_denoiser(ms, unet_cfg, policy, unet_params, cond,
+                                 uncond, cfg_scale, interval,
+                                 y_cond=None, y_uncond=None):
+    """Stateful CFG denoiser with DeepCache deep-block reuse (arXiv
+    2312.03209): ``(x, sigma, i, cache) -> (denoised, cache)``; the deep UNet
+    half refreshes when ``i % interval == 0``. Shared by the monolithic and
+    chunked DeepCache programs so both run the identical trajectory."""
+    from ..diffusion.cfg import common_context_length, pad_context_to
+
+    def denoise_cached(x, sigma, i, cache):
+        b = x.shape[0]
+        target = common_context_length(cond.shape[1], uncond.shape[1])
+        cond_p = pad_context_to(cond, target)
+        uncond_p = pad_context_to(uncond, target)
+        context = jnp.concatenate(
+            [
+                jnp.broadcast_to(cond_p, (b,) + cond_p.shape[1:]),
+                jnp.broadcast_to(uncond_p, (b,) + uncond_p.shape[1:]),
+            ],
+            axis=0,
+        ).astype(policy.compute_dtype)
+        y2 = None
+        if y_cond is not None:
+            y2 = jnp.concatenate(
+                [
+                    jnp.broadcast_to(y_cond, (b,) + y_cond.shape[1:]),
+                    jnp.broadcast_to(y_uncond, (b,) + y_uncond.shape[1:]),
+                ],
+                axis=0,
+            )
+        sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
+        x_in = ms.calculate_input(sigma_b, x)
+        t = ms.timestep(sigma_b)
+        x2 = jnp.concatenate([x_in, x_in], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        refresh = (i % interval) == 0
+        eps2, cache = U.apply_unet_cached(
+            unet_params, x2.astype(policy.compute_dtype), t2, context,
+            cache, refresh, y=y2, cfg=unet_cfg, policy=policy,
+        )
+        den2 = ms.calculate_denoised(
+            jnp.concatenate([sigma_b, sigma_b]),
+            eps2.astype(jnp.float32),
+            jnp.concatenate([x, x], axis=0),
+        )
+        d_cond, d_uncond = den2[:b], den2[b:]
+        scale = jnp.asarray(cfg_scale, jnp.float32)
+        if scale.ndim:  # per-sample guidance, as in cfg.py
+            scale = scale.reshape(scale.shape + (1,) * (x.ndim - scale.ndim))
+        return d_uncond + (d_cond - d_uncond) * scale, cache
+
+    return denoise_cached
 
 
 class SDPipeline:
@@ -287,6 +344,7 @@ class SDPipeline:
             return SMP.sample(
                 denoise_fn, ms, noise, sigmas, latent=latent, key=key,
                 sampler_name=cfg_key.sampler_name, step_offset=step_offset,
+                sampler_options=dict(cfg_key.options),
             )
 
         self._cache_program(key, program)
@@ -344,6 +402,7 @@ class SDPipeline:
         cfg_cutoff: float | None = None,
         control=None,  # (cn_params, cn_cfg, hint, strength) — ControlNet
         concat_cond: jnp.ndarray | None = None,  # (B,h,w,Cc) inpaint models
+        sampler_options: dict | None = None,  # eta/s_noise/... (ref :1118)
         _uncond_free: bool = False,
     ) -> jnp.ndarray:
         """The KSampler node (ref KSampler2.sample :6704 / common_ksampler
@@ -385,14 +444,14 @@ class SDPipeline:
                 denoise=denoise, disable_noise=disable_noise,
                 deepcache_interval=deepcache_interval,
                 start_step=0, last_step=k, noise=noise, control=control,
-                concat_cond=concat_cond,
+                concat_cond=concat_cond, sampler_options=sampler_options,
             )
             return self.sample_latent(
                 x, positive, negative, seed=seed, steps=steps, cfg=cfg,
                 sampler_name=sampler_name, scheduler=scheduler,
                 denoise=denoise, disable_noise=True,
                 start_step=k, control=control, concat_cond=concat_cond,
-                _uncond_free=True,
+                sampler_options=sampler_options, _uncond_free=True,
             )
         cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
         uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
@@ -420,6 +479,7 @@ class SDPipeline:
             uncond_free=_uncond_free,
             control_cfg=control[1] if control is not None else None,
             has_concat=concat_cond is not None,
+            options=tuple(sorted((sampler_options or {}).items())),
         )
         program = self._sample_program(cfg_key, sigmas.tobytes(), step_offset=lo)
         from ..diffusion.noise import keys_for
@@ -499,63 +559,24 @@ class SDPipeline:
         ) or float(sigmas[0]) > float(ms.sigma_max)
         n = sigmas.shape[0] - 1
 
+        opts = dict(cfg_key.options)
+
         @jax.jit
         def program(unet_params, noise, latent, cond, uncond, cfg_scale, key,
                     y_cond=None, y_uncond=None):
-            from ..diffusion.cfg import common_context_length, pad_context_to
-
-            b = latent.shape[0]
-            target = common_context_length(cond.shape[1], uncond.shape[1])
-            cond_p = pad_context_to(cond, target)
-            uncond_p = pad_context_to(uncond, target)
-            context = jnp.concatenate(
-                [
-                    jnp.broadcast_to(cond_p, (b,) + cond_p.shape[1:]),
-                    jnp.broadcast_to(uncond_p, (b,) + uncond_p.shape[1:]),
-                ],
-                axis=0,
-            ).astype(policy.compute_dtype)
-            y2 = None
-            if y_cond is not None:
-                y2 = jnp.concatenate(
-                    [
-                        jnp.broadcast_to(y_cond, (b,) + y_cond.shape[1:]),
-                        jnp.broadcast_to(y_uncond, (b,) + y_uncond.shape[1:]),
-                    ],
-                    axis=0,
-                )
-
-            def denoise_cached(x, sigma, i, cache):
-                sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
-                x_in = ms.calculate_input(sigma_b, x)
-                t = ms.timestep(sigma_b)
-                x2 = jnp.concatenate([x_in, x_in], axis=0)
-                t2 = jnp.concatenate([t, t], axis=0)
-                refresh = (i % interval) == 0
-                eps2, cache = U.apply_unet_cached(
-                    unet_params, x2.astype(policy.compute_dtype), t2, context,
-                    cache, refresh, y=y2, cfg=unet_cfg, policy=policy,
-                )
-                den2 = ms.calculate_denoised(
-                    jnp.concatenate([sigma_b, sigma_b]),
-                    eps2.astype(jnp.float32),
-                    jnp.concatenate([x, x], axis=0),
-                )
-                d_cond, d_uncond = den2[:b], den2[b:]
-                scale = jnp.asarray(cfg_scale, jnp.float32)
-                if scale.ndim:  # per-sample guidance, as in cfg.py
-                    scale = scale.reshape(
-                        scale.shape + (1,) * (x.ndim - scale.ndim)
-                    )
-                return d_uncond + (d_cond - d_uncond) * scale, cache
-
+            denoise_cached = _make_deepcache_cfg_denoiser(
+                ms, unet_cfg, policy, unet_params, cond, uncond, cfg_scale,
+                interval, y_cond=y_cond, y_uncond=y_uncond,
+            )
             x = ms.noise_scaling(
                 jnp.float32(sigmas[0]), noise.astype(jnp.float32),
                 latent.astype(jnp.float32), max_denoise,
             )
+            b = latent.shape[0]
             body = make_stepper(
                 cfg_key.sampler_name, denoise_cached, key, stateful=True,
                 step_offset=step_offset,
+                eta=opts.get("eta", 1.0), s_noise=opts.get("s_noise", 1.0),
             )
             cache0 = jnp.zeros(
                 U.deepcache_shape(unet_cfg, latent.shape[1], latent.shape[2],
@@ -572,8 +593,17 @@ class SDPipeline:
         return program
 
     # --------------------------------------------- chunked (interruptible) --
-    def _chunk_program(self, cfg_key: SampleConfig, chunk_len: int):
-        key = ("chunk", cfg_key, chunk_len)
+    def _chunk_program(self, cfg_key: SampleConfig, chunk_len: int,
+                       step_offset: int = 0):
+        """One compiled scan over ``chunk_len`` steps with the full feature
+        set of the monolithic program: CFG or cond-only (``uncond_free``,
+        the cfg_cutoff tail), masked denoise (+DifferentialDiffusion, the
+        detailer's path), and DeepCache (cache threads through ``state``).
+        ``step_offset``: absolute index of the phase's first step — the
+        noise-key offset for suffix windows (indices stay phase-relative so
+        multistep order gates and the DeepCache cadence match a monolithic
+        run of the phase)."""
+        key = ("chunk", cfg_key, chunk_len, step_offset)
         if key in self._programs:
             self._programs.move_to_end(key)
             return self._programs[key]
@@ -590,17 +620,62 @@ class SDPipeline:
 
         from ..diffusion.samplers import make_stepper, run_steps
 
+        opts = dict(cfg_key.options)
+        eta = opts.get("eta", 1.0)
+        s_noise = opts.get("s_noise", 1.0)
+
         @jax.jit
         def program(unet_params, x, aux, cond, uncond, cfg_scale, key,
-                    indices, sig_lo, sig_hi, y_cond=None, y_uncond=None):
-            denoise_fn = make_cfg_denoiser(
-                unet_apply_y if cfg_key.has_y else unet_apply,
-                unet_params, cond, uncond, cfg_scale, ms,
-                y_cond=y_cond, y_uncond=y_uncond,
+                    indices, sig_lo, sig_hi, state=(), mask=None,
+                    latent_orig=None, noise0=None, y_cond=None, y_uncond=None):
+            base_apply = unet_apply_y if cfg_key.has_y else unet_apply
+            if cfg_key.deepcache > 1:
+                denoise_fn = _make_deepcache_cfg_denoiser(
+                    ms, unet_cfg, policy, unet_params, cond, uncond,
+                    cfg_scale, cfg_key.deepcache, y_cond=y_cond,
+                    y_uncond=y_uncond,
+                )
+                body = make_stepper(
+                    cfg_key.sampler_name, denoise_fn, key, eta=eta,
+                    s_noise=s_noise, stateful=True, step_offset=step_offset,
+                )
+                x, aux2, state = run_steps(
+                    body, x, aux, indices, (sig_lo, sig_hi), state=state
+                )
+                return x, aux2, state
+            if cfg_key.uncond_free:
+                from ..diffusion.cfg import make_denoiser_single
+
+                denoise_fn = make_denoiser_single(
+                    base_apply, unet_params, cond, ms, y_cond=y_cond,
+                )
+            else:
+                denoise_fn = make_cfg_denoiser(
+                    base_apply, unet_params, cond, uncond, cfg_scale, ms,
+                    y_cond=y_cond, y_uncond=y_uncond,
+                )
+            if cfg_key.masked:
+                from ..diffusion.inpaint import (
+                    differential_diffusion_mask_fn,
+                    make_masked_denoiser,
+                )
+
+                mask_fn = (
+                    differential_diffusion_mask_fn(ms)
+                    if cfg_key.differential_diffusion
+                    else None
+                )
+                denoise_fn = make_masked_denoiser(
+                    denoise_fn, latent_orig, noise0, mask, mask_fn
+                )
+            body = make_stepper(
+                cfg_key.sampler_name, denoise_fn, key, eta=eta,
+                s_noise=s_noise, step_offset=step_offset,
             )
-            body = make_stepper(cfg_key.sampler_name, denoise_fn, key)
-            x, aux2, _ = run_steps(body, x, aux, indices, (sig_lo, sig_hi))
-            return x, aux2
+            x, aux2, state = run_steps(
+                body, x, aux, indices, (sig_lo, sig_hi), state=state
+            )
+            return x, aux2, state
 
         self._cache_program(key, program)
         return program
@@ -631,7 +706,7 @@ class SDPipeline:
 
         def with_denoiser(fn):
             @jax.jit
-            def prog(unet_params, cond, uncond, cfg_scale, carry,
+            def prog(unet_params, cond, uncond, cfg_scale, carry, key,
                      y_cond=None, y_uncond=None):
                 denoise_fn = make_cfg_denoiser(
                     unet_apply_y if cfg_key.has_y else unet_apply,
@@ -639,7 +714,8 @@ class SDPipeline:
                     y_cond=y_cond, y_uncond=y_uncond,
                 )
                 _, run, finish = S.dpm_adaptive_segment(
-                    denoise_fn, sigmas, seg_iters=seg_iters
+                    denoise_fn, sigmas, key=key, seg_iters=seg_iters,
+                    **dict(cfg_key.options),
                 )
                 return fn(run, finish, carry)
 
@@ -652,7 +728,11 @@ class SDPipeline:
 
     def _sample_adaptive_chunked(self, latent, cond, uncond, seed, steps, cfg,
                                  scheduler, denoise, chunk_size, on_chunk,
-                                 y_cond=None, y_uncond=None):
+                                 y_cond=None, y_uncond=None, options=()):
+        """``options``: sorted item tuple of dpm_adaptive sampler options
+        (eta/s_noise/pcoeff/icoeff/dcoeff/rtol/atol...) — forwarded into the
+        bounded segments so the interruptible path carries the same SDE/PID
+        variants as the monolithic sampler (ref signature :1118-1140)."""
         import math as _math
 
         from ..diffusion import samplers as S
@@ -671,6 +751,7 @@ class SDPipeline:
         cfg_key = SampleConfig(
             steps, "dpm_adaptive", scheduler, denoise, False,
             cond.shape[1], uncond.shape[1], has_y=y_cond is not None,
+            options=tuple(options),
         )
         # ≥3 UNet evals per solver iteration; chunk_size counts UNet steps
         seg_iters = max(1, chunk_size // 3)
@@ -681,20 +762,21 @@ class SDPipeline:
                                             seg_iters=seg_iters)
         carry = init(x)
         max_steps = 200
+        rng = jax.random.PRNGKey(seed)
         args = (self.sd.unet_params, cond, uncond, jnp.float32(cfg))
         kwargs = (
             {} if y_cond is None
             else {"y_cond": y_cond, "y_uncond": y_uncond}
         )
         while True:
-            carry, done = run_prog(*args, carry, **kwargs)
+            carry, done = run_prog(*args, carry, rng, **kwargs)
             n_iter = int(carry[6])
             if on_chunk is not None:
                 if on_chunk(n_iter, max_steps, np.asarray(carry[0])) is False:
                     break
             if bool(done) or n_iter >= max_steps:
                 break
-        x = finish_prog(*args, carry, **kwargs)
+        x = finish_prog(*args, carry, rng, **kwargs)
         return ms.inverse_noise_scaling(jnp.float32(sigmas[-1]), x)
 
     def sample_latent_chunked(
@@ -710,21 +792,41 @@ class SDPipeline:
         denoise: float = 1.0,
         chunk_size: int = 5,
         on_chunk=None,  # fn(steps_done, total, latent_np) -> False to stop
+        deepcache_interval: int = 0,
+        cfg_cutoff: float | None = None,
+        noise_mask: jnp.ndarray | None = None,
+        differential_diffusion: bool = False,
+        sampler_options: dict | None = None,
     ):
         """Interruptible sampling: compiled scans over chunks of steps, host
         polling between chunks (reference interrupt_flag/preview parity,
         LightDiffusion.py:922/:937; SURVEY §7). dpm_adaptive runs as bounded
         while_loop segments (ref polls inside its adaptive loop too, :1076).
-        SDXL ADM vectors thread through every chunk program."""
+        SDXL ADM vectors thread through every chunk program.
+
+        Carries the monolithic path's features so the GUI/interruptible
+        frontend reaches the same accelerators and masked flows:
+          - ``deepcache_interval`` > 1: DeepCache (cache threads across
+            chunks — identical trajectory to the monolithic program)
+          - ``cfg_cutoff``: CFG for the first fraction of steps, cond-only
+            tail (arXiv 2404.07724); the tail phase re-keys its noise at the
+            absolute step (suffix-noise semantics)
+          - ``noise_mask`` (+``differential_diffusion``): inpaint-style
+            masked denoise — the detailer's per-seg path (ref :2629/:9451)
+          - ``sampler_options``: eta/s_noise for fixed-step SDE samplers,
+            full option set for dpm_adaptive (ref :1118-1140)
+        """
         from ..diffusion.samplers import make_stepper
 
         cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
         uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
         y_cond, y_uncond = self._adm_vectors(latent, positive, negative)
+        opts = tuple(sorted((sampler_options or {}).items()))
         if sampler_name == "dpm_adaptive":
             return self._sample_adaptive_chunked(
                 latent, cond, uncond, seed, steps, cfg, scheduler,
                 denoise, chunk_size, on_chunk, y_cond, y_uncond,
+                options=opts,
             )
         no_stepper = make_stepper(
             sampler_name, lambda x, s: x, jax.random.PRNGKey(0)
@@ -732,7 +834,10 @@ class SDPipeline:
         if no_stepper:
             return self.sample_latent(
                 latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
-                sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,
+                sampler_name=sampler_name, scheduler=scheduler,
+                denoise=denoise, deepcache_interval=deepcache_interval,
+                cfg_cutoff=cfg_cutoff, noise_mask=noise_mask,
+                differential_diffusion=differential_diffusion,
             )
         import math as _math
 
@@ -749,27 +854,79 @@ class SDPipeline:
             jnp.float32(sigmas[0]), noise, latent.astype(jnp.float32), max_denoise
         )
         aux = (jnp.zeros_like(x), jnp.float32(1.0))
-        cfg_key = SampleConfig(
-            steps, sampler_name, scheduler, denoise, False,
-            cond.shape[1], uncond.shape[1], has_y=y_cond is not None,
-        )
-        kwargs = (
+        # cfg_cutoff: steps [0, k) guided, [k, n] cond-only — matches the
+        # monolithic two-call handoff exactly (inverse_noise_scaling is the
+        # identity, so the continuous trajectory IS the mono trajectory)
+        k = None
+        if cfg_cutoff is not None and 0.0 < cfg_cutoff < 1.0 and steps >= 2:
+            if noise_mask is not None:
+                raise ValueError(
+                    "cfg_cutoff does not compose with masked sampling (see "
+                    "sample_latent)"
+                )
+            k = max(1, min(n - 1, round(steps * cfg_cutoff)))
+        dc = deepcache_interval if (
+            deepcache_interval > 1 and noise_mask is None
+        ) else 0
+        mask_kwargs = {}
+        if noise_mask is not None:
+            mask = jnp.asarray(noise_mask, jnp.float32)
+            if mask.ndim == 3:
+                mask = mask[..., None]
+            mask_kwargs = dict(
+                mask=mask,
+                latent_orig=latent.astype(jnp.float32),
+                noise0=noise,
+            )
+        y_kwargs = (
             {} if y_cond is None
             else {"y_cond": y_cond, "y_uncond": y_uncond}
         )
         rng = jax.random.PRNGKey(seed)
+        state = ()
+        if dc:
+            state = jnp.zeros(
+                U.deepcache_shape(
+                    self.sd.unet_config, latent.shape[1], latent.shape[2],
+                    2 * latent.shape[0],
+                ),
+                self.policy.compute_dtype,
+            )
         done = 0
         while done < n:
-            m = min(chunk_size, n - done)
-            program = self._chunk_program(cfg_key, m)
-            idx = jnp.arange(done, done + m)
+            in_tail = k is not None and done >= k
+            phase_start = k if in_tail else 0
+            phase_end = n if k is None or in_tail else k
+            m = min(chunk_size, phase_end - done)
+            cfg_key = SampleConfig(
+                steps, sampler_name, scheduler, denoise, False,
+                cond.shape[1], uncond.shape[1],
+                masked=noise_mask is not None,
+                differential_diffusion=(
+                    differential_diffusion and noise_mask is not None
+                ),
+                deepcache=0 if in_tail else dc,
+                has_y=y_cond is not None,
+                uncond_free=in_tail,
+                options=opts,
+            )
+            program = self._chunk_program(cfg_key, m, step_offset=phase_start)
+            rel = done - phase_start
+            idx = jnp.arange(rel, rel + m)
             lo = jnp.asarray(sigmas[done : done + m])
             hi = jnp.asarray(sigmas[done + 1 : done + m + 1])
-            x, aux = program(
+            x, aux, state_out = program(
                 self.sd.unet_params, x, aux, cond, uncond, jnp.float32(cfg),
-                rng, idx, lo, hi, **kwargs,
+                rng, idx, lo, hi, state if cfg_key.deepcache else (),
+                **mask_kwargs, **y_kwargs,
             )
+            if cfg_key.deepcache:
+                state = state_out
             done += m
+            if k is not None and done == k:
+                # phase handoff: the mono path's second call starts with a
+                # fresh multistep history — reset aux to match it exactly
+                aux = (jnp.zeros_like(x), jnp.float32(1.0))
             if on_chunk is not None:
                 if on_chunk(done, n, np.asarray(x)) is False:
                     break

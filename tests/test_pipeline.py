@@ -235,3 +235,105 @@ def test_chunked_dpm_adaptive_interrupt(pipe):
     )
     assert len(calls) == 1
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_chunked_deepcache_matches_monolithic(pipe):
+    """DeepCache in the chunked/interruptible path: the cache threads
+    through the chunk state, so the trajectory is identical to the
+    monolithic DeepCache program (VERDICT r2 item 4)."""
+    latent = pipe.empty_latent(32, 32)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    full = pipe.sample_latent(
+        latent, pos, neg, seed=3, steps=6, sampler_name="euler_ancestral",
+        deepcache_interval=2,
+    )
+    chunked = pipe.sample_latent_chunked(
+        latent, pos, neg, seed=3, steps=6, sampler_name="euler_ancestral",
+        deepcache_interval=2, chunk_size=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), atol=1e-5, rtol=1e-5
+    )
+    # and DeepCache actually changes the trajectory vs the plain program
+    plain = pipe.sample_latent(
+        latent, pos, neg, seed=3, steps=6, sampler_name="euler_ancestral",
+    )
+    assert np.abs(np.asarray(full) - np.asarray(plain)).max() > 1e-6
+
+
+def test_chunked_cfg_cutoff_matches_monolithic(pipe):
+    """cfg_cutoff in the chunked path: guided phase then cond-only tail,
+    matching the monolithic two-call handoff exactly at fp32."""
+    latent = pipe.empty_latent(32, 32)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    for sampler in ("euler_ancestral", "dpmpp_2m_sde"):
+        full = pipe.sample_latent(
+            latent, pos, neg, seed=4, steps=6, sampler_name=sampler,
+            cfg_cutoff=0.5,
+        )
+        chunked = pipe.sample_latent_chunked(
+            latent, pos, neg, seed=4, steps=6, sampler_name=sampler,
+            cfg_cutoff=0.5, chunk_size=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(chunked), atol=1e-5, rtol=1e-5,
+            err_msg=sampler,
+        )
+
+
+def test_chunked_masked_matches_monolithic(pipe):
+    """noise_mask (+DifferentialDiffusion) in the chunked path — the
+    detailer's per-seg flow becomes interruptible (VERDICT r2 item 3)."""
+    latent = jnp.asarray(
+        np.random.RandomState(0).randn(1, 4, 4, 4), jnp.float32
+    )
+    mask = np.zeros((1, 4, 4, 1), np.float32)
+    mask[:, :2] = 1.0
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    for dd in (False, True):
+        full = pipe.sample_latent(
+            latent, pos, neg, seed=2, steps=5, denoise=0.6,
+            sampler_name="euler_ancestral", noise_mask=jnp.asarray(mask),
+            differential_diffusion=dd,
+        )
+        chunked = pipe.sample_latent_chunked(
+            latent, pos, neg, seed=2, steps=5, denoise=0.6,
+            sampler_name="euler_ancestral", noise_mask=jnp.asarray(mask),
+            differential_diffusion=dd, chunk_size=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(chunked), atol=1e-5, rtol=1e-5,
+            err_msg=f"differential_diffusion={dd}",
+        )
+        if not dd:
+            # unmasked region is preserved (with DifferentialDiffusion the
+            # threshold reaches 0 at sigma_min, so the final step denoises
+            # the full image — by design, ref :8951-8965)
+            np.testing.assert_allclose(
+                np.asarray(chunked)[:, 2:], np.asarray(latent)[:, 2:],
+                atol=1e-5, rtol=1e-4,
+            )
+
+
+def test_chunked_adaptive_forwards_sampler_options(pipe):
+    """eta/s_noise reach the segmented dpm_adaptive (VERDICT r2 missing 5):
+    the SDE variant differs from the ODE default and matches the monolithic
+    SDE run."""
+    latent = pipe.empty_latent(32, 32)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    opts = {"eta": 0.5, "s_noise": 1.0}
+    full = pipe.sample_latent(
+        latent, pos, neg, seed=3, steps=6, sampler_name="dpm_adaptive",
+        sampler_options=opts,
+    )
+    chunked = pipe.sample_latent_chunked(
+        latent, pos, neg, seed=3, steps=6, sampler_name="dpm_adaptive",
+        chunk_size=6, sampler_options=opts,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), atol=1e-5, rtol=1e-5
+    )
+    ode = pipe.sample_latent(
+        latent, pos, neg, seed=3, steps=6, sampler_name="dpm_adaptive",
+    )
+    assert np.abs(np.asarray(full) - np.asarray(ode)).max() > 1e-6
