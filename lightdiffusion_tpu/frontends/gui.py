@@ -194,7 +194,19 @@ class GenerationController:
         if adetailer:
             from ..pipelines.adetailer import adetailer as run_adetailer
 
-            imgs = run_adetailer(pipe, imgs, seed=seed)
+            def on_seg(done, total, canvas):
+                # live-canvas preview + stop between segs (ref polls
+                # interrupt_flag inside every sampler loop, :922/:1076)
+                if preview_cb is not None:
+                    preview_cb(canvas)
+                if progress_cb:
+                    progress_cb(done, total)
+                return not self.interrupt_flag
+
+            imgs = run_adetailer(
+                pipe, imgs, seed=seed,
+                interrupt=lambda: self.interrupt_flag, on_seg=on_seg,
+            )
         return imgs
 
 
@@ -348,11 +360,21 @@ def main():  # pragma: no cover - needs a display
                 lora_strength=2.0,
             )
             img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+            ctl.interrupt_flag = False
+
+            def on_tile(done, total, canvas):
+                root.after(0, root.title,
+                           f"LightDiffusion-TPU — img2img {done}/{total}")
+                if prev_var.get():
+                    root.after(0, show, canvas)
+                return not ctl.interrupt_flag
+
             out = ultimate_sd_upscale(
                 pipe, img[None], prompt_box.get("1.0", "end").strip(),
                 neg_box.get("1.0", "end").strip(), upscale_by=2.0, steps=8,
                 cfg=6.0, denoise=0.3, mask_blur=16, padding=32,
                 seam_fix_mode="Half Tile", seam_fix_denoise=0.2,
+                on_tile=on_tile,
             )
             SaveImage().save_images(out, "GUI-img2img")
             root.after(0, show, out[0])

@@ -73,8 +73,12 @@ def adetailer_pass(
     guide_size: float = 512.0,
     max_size: float = 768.0,
     noise_mask_feather: int = 20,
+    on_seg=None,  # fn(done, total, canvas) -> False stops between segs
+    on_chunk=None,  # fn(done, total, latent_np) -> False stops mid-seg
 ) -> np.ndarray:
-    """One detect→mask→detail pass (ref §3.3 call stack)."""
+    """One detect→mask→detail pass (ref §3.3 call stack). The callbacks make
+    the (slowest) detailer phase interruptible/previewable, like the
+    reference's in-loop interrupt_flag polling (:922/:1076)."""
     boxes, scores, labels, masks = detector(image, conf=bbox_threshold)
     segs = bboxes_to_segs(
         image, boxes, scores, labels, threshold=bbox_threshold,
@@ -100,6 +104,7 @@ def adetailer_pass(
         guide_size=guide_size, max_size=max_size, steps=steps, cfg=cfg,
         sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,
         noise_mask=True, noise_mask_feather=noise_mask_feather,
+        on_seg=on_seg, on_chunk=on_chunk,
     )
     return canvas
 
@@ -111,21 +116,31 @@ def adetailer(
     prompt: str = DETAIL_PROMPT,
     negative: str = "",
     seed: int = 0,
+    interrupt=None,  # fn() -> True to stop (polled between passes too)
     **kwargs,
 ) -> np.ndarray:
-    """Two detail passes: person seg then face (ref :10621-10731)."""
+    """Two detail passes: person seg then face (ref :10621-10731).
+    ``interrupt``: zero-arg poll; when it returns True the current pass
+    stops at the next seg/chunk boundary and the canvas so far is kept."""
     if detectors is None:
         detectors = load_detectors()
     person, face, sam_pred = detectors
+    if interrupt is not None:
+        kwargs.setdefault(
+            "on_seg", lambda done, total, canvas: not interrupt()
+        )
+        kwargs.setdefault(
+            "on_chunk", lambda done, total, latent: not interrupt()
+        )
     out = []
     for i in range(images.shape[0]):
         img = np.asarray(images[i], np.float32)
-        if person is not None:
+        if person is not None and not (interrupt is not None and interrupt()):
             img = adetailer_pass(
                 pipe, img, person, sam_pred, prompt, negative, seed=seed,
                 **kwargs,
             )
-        if face is not None:
+        if face is not None and not (interrupt is not None and interrupt()):
             img = adetailer_pass(
                 pipe, img, face, None, prompt, negative, seed=seed, **kwargs
             )

@@ -122,8 +122,16 @@ def enhance_detail(
     noise_mask: bool = True,
     cycle: int = 1,
     noise_mask_feather: int = 20,
+    on_chunk=None,  # fn(done, total, latent_np) -> False stops mid-pass
 ) -> np.ndarray | None:
-    """(ref :9208-9352) Returns the enhanced crop (crop-region sized)."""
+    """(ref :9208-9352) Returns the enhanced crop (crop-region sized).
+
+    ``on_chunk``: threads into chunked sampling so the (slow, 40-step
+    default) per-seg pass is interruptible/previewable — the reference
+    polls app.interrupt_flag inside every sampler loop (:922/:1076); a
+    False return stops sampling at the next chunk boundary and the
+    partially-denoised crop is returned (matching the reference's
+    break-and-continue interrupt semantics)."""
     x1, y1, x2, y2 = seg.crop_region
     crop = image[y1:y2, x1:x2]
     ch, cw = crop.shape[:2]
@@ -158,12 +166,23 @@ def enhance_detail(
     )
     # advanced_steps partial-denoise math (ref ksampler_wrapper :9183-9185)
     for c in range(cycle):
-        latent = pipe.sample_latent(
-            latent, positive, negative, seed=seed + c, steps=steps, cfg=cfg,
-            sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,
-            noise_mask=jnp.asarray(lm) if noise_mask else None,
-            differential_diffusion=noise_mask_feather > 0,
-        )
+        if on_chunk is not None:
+            latent = pipe.sample_latent_chunked(
+                latent, positive, negative, seed=seed + c, steps=steps,
+                cfg=cfg, sampler_name=sampler_name, scheduler=scheduler,
+                denoise=denoise,
+                noise_mask=jnp.asarray(lm) if noise_mask else None,
+                differential_diffusion=noise_mask_feather > 0,
+                on_chunk=on_chunk,
+            )
+        else:
+            latent = pipe.sample_latent(
+                latent, positive, negative, seed=seed + c, steps=steps,
+                cfg=cfg, sampler_name=sampler_name, scheduler=scheduler,
+                denoise=denoise,
+                noise_mask=jnp.asarray(lm) if noise_mask else None,
+                differential_diffusion=noise_mask_feather > 0,
+            )
     decoded = np.asarray(pipe.decode(latent), np.float32)[0]
     back = np.asarray(resize(jnp.asarray(decoded[None]), cw, ch, "lanczos"))[0]
     return np.clip(back, 0.0, 1.0)
@@ -177,28 +196,39 @@ def detail_segs(
     negative,
     feather: int = 5,
     seed: int = 0,
+    on_seg=None,  # fn(done, total, canvas) -> False stops between segs
+    on_chunk=None,  # fn(done, total, latent_np) -> False stops mid-seg
     **enhance_kwargs,
 ) -> tuple[np.ndarray, list[np.ndarray]]:
     """(ref DetailerForEach.do_detail :9402) Returns (image, enhanced crops).
 
     Crops come from the LIVE canvas (ref :9458) so overlapping segs compose.
-    """
+    ``on_seg`` is polled after every pasted segment with the live canvas
+    (progress/preview hook); ``on_chunk`` makes each seg's sampling itself
+    interruptible (enhance_detail) — together the detailer pass can be
+    stopped within one chunk, like the reference's in-loop interrupt_flag
+    polling (:922/:1076/:10794)."""
     canvas = image.copy()
     enhanced_list = []
+    total = len(segs)
     for i, seg in enumerate(segs):
         if seg.cropped_mask.max() <= 0:  # empty-mask skip (ref :9465)
+            if on_seg is not None and on_seg(i + 1, total, canvas) is False:
+                break
             continue
         mask = gaussian_blur(seg.cropped_mask.astype(np.float32), feather) \
             if feather > 0 else seg.cropped_mask.astype(np.float32)
         enhanced = enhance_detail(
             pipe, canvas, seg, positive, negative, seed=seed + i,  # ref :9474
+            on_chunk=on_chunk,
             **enhance_kwargs,
         )
-        if enhanced is None:
-            continue
-        x1, y1, _, _ = seg.crop_region
-        paste_masked(canvas, enhanced, x1, y1, np.clip(mask, 0, 1))
-        enhanced_list.append(enhanced)
+        if enhanced is not None:
+            x1, y1, _, _ = seg.crop_region
+            paste_masked(canvas, enhanced, x1, y1, np.clip(mask, 0, 1))
+            enhanced_list.append(enhanced)
+        if on_seg is not None and on_seg(i + 1, total, canvas) is False:
+            break
     return canvas, enhanced_list
 
 

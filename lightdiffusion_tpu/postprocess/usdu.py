@@ -90,7 +90,8 @@ def _redraw_tile(pipe, canvas, mask, positive, negative, tile_w, tile_h,
 
 def _redraw_tiles_batched(pipe, canvas, masks, positive, negative, tile_w,
                           tile_h, padding, mask_blur, steps, cfg, denoise,
-                          sampler_name, scheduler, seed, tile_batch=4):
+                          sampler_name, scheduler, seed, tile_batch=4,
+                          tick=None):
     """Redraw several independent tiles in ONE batched sampling program —
     the TPU-native move (SURVEY §5.7: tiles shard as batch; the reference
     processes tiles strictly sequentially, :7945). Used for Chess waves,
@@ -135,6 +136,8 @@ def _redraw_tiles_batched(pipe, canvas, masks, positive, negative, tile_w,
             )[0]
             paste_masked(canvas, np.clip(back, 0, 1), x1, y1,
                          np.clip(m[y1:y2, x1:x2], 0, 1))
+        if tick is not None and tick(n_real) is False:
+            return
 
 
 def ultimate_sd_upscale(
@@ -161,21 +164,56 @@ def ultimate_sd_upscale(
     seed: int = 0,
     mode_type: str = "Linear",
     batch_tiles: bool = True,
+    on_tile=None,  # fn(done, total, canvas) -> False stops the upscale
 ) -> np.ndarray:
     """Full USDU (defaults mirror the reference GUI img2img call
     :10392-10417). ``batch_tiles``: in Chess mode, redraw each parity wave
     as ONE batched sampling program (same-parity tiles are independent) —
     saturates the MXU like batch>1 txt2img; set False for strictly
-    sequential reference-ordered processing."""
+    sequential reference-ordered processing.
+
+    ``on_tile`` is polled after every redrawn tile (or batched wave chunk)
+    with the LIVE canvas — the interrupt/preview hook the reference gets by
+    polling app.interrupt_flag inside each tile's sampler loop (:922,
+    :10794); returning False stops the pass and keeps the canvas so far."""
     positive = pipe.encode_text(prompt)
     negative_c = pipe.encode_text(negative)
     b, h, w, _ = images.shape
     target_w, target_h = round(w * upscale_by), round(h * upscale_by)
     upscaled = upscale_image(images, target_w, target_h, esrgan)
 
+    # total tile count for progress reporting (per whole batch)
+    ch0, cw0 = upscaled.shape[1:3]
+    cols0 = math.ceil(cw0 / tile_width)
+    rows0 = math.ceil(ch0 / tile_height)
+    n_per_image = rows0 * cols0
+    if seam_fix_mode == "Band Pass":
+        n_per_image += (rows0 - 1) + (cols0 - 1)
+    elif seam_fix_mode in ("Half Tile", "Half Tile + Intersections"):
+        n_per_image += (rows0 - 1) * cols0 + (cols0 - 1) * rows0
+        if seam_fix_mode == "Half Tile + Intersections":
+            n_per_image += (rows0 - 1) * (cols0 - 1)
+    progress = {"done": 0, "stop": False}
+
+    def make_tick(canvas):
+        def tick(k=1):
+            progress["done"] += k
+            if on_tile is not None and on_tile(
+                progress["done"], b * n_per_image, canvas
+            ) is False:
+                progress["stop"] = True
+                return False
+            return True
+
+        return tick
+
     out = []
     for i in range(b):
         canvas = upscaled[i].copy()
+        tick = make_tick(canvas)
+        if progress["stop"]:
+            out.append(canvas)
+            continue
         ch, cw = canvas.shape[:2]
         cols = math.ceil(cw / tile_width)
         rows = math.ceil(ch / tile_height)
@@ -191,6 +229,8 @@ def ultimate_sd_upscale(
         # parity so neighbours are redrawn in a second wave) ----
         if mode_type == "Chess" and batch_tiles:
             for parity in (0, 1):
+                if progress["stop"]:
+                    break
                 wave = [
                     rect_mask(xi * tile_width, yi * tile_height,
                               (xi + 1) * tile_width, (yi + 1) * tile_height)
@@ -200,7 +240,7 @@ def ultimate_sd_upscale(
                 _redraw_tiles_batched(
                     pipe, canvas, wave, positive, negative_c, tile_width,
                     tile_height, padding, mask_blur, steps, cfg, denoise,
-                    sampler_name, scheduler, seed,
+                    sampler_name, scheduler, seed, tick=tick,
                 )
             tile_order = []
         elif mode_type == "Chess":
@@ -214,6 +254,8 @@ def ultimate_sd_upscale(
         else:
             tile_order = [(yi, xi) for yi in range(rows) for xi in range(cols)]
         for yi, xi in tile_order:
+            if progress["stop"]:
+                break
             m = rect_mask(xi * tile_width, yi * tile_height,
                           (xi + 1) * tile_width, (yi + 1) * tile_height)
             _redraw_tile(
@@ -221,11 +263,14 @@ def ultimate_sd_upscale(
                 tile_height, padding, mask_blur, steps, cfg, denoise,
                 sampler_name, scheduler, seed,
             )
+            tick()
 
         # ---- seams fix: Band Pass (thin bands along every seam) ----
         if seam_fix_mode == "Band Pass":
             half_w = max(seam_fix_width // 2, 4)
             for yi in range(rows - 1):
+                if progress["stop"]:
+                    break
                 band_y = (yi + 1) * tile_height
                 m = rect_mask(0, band_y - half_w, cw, band_y + half_w)
                 _redraw_tile(
@@ -234,7 +279,10 @@ def ultimate_sd_upscale(
                     steps, cfg, seam_fix_denoise, sampler_name, scheduler,
                     seed,
                 )
+                tick()
             for xi in range(cols - 1):
+                if progress["stop"]:
+                    break
                 band_x = (xi + 1) * tile_width
                 m = rect_mask(band_x - half_w, 0, band_x + half_w, ch)
                 _redraw_tile(
@@ -242,6 +290,7 @@ def ultimate_sd_upscale(
                     ch, seam_fix_padding, seam_fix_mask_blur, steps, cfg,
                     seam_fix_denoise, sampler_name, scheduler, seed,
                 )
+                tick()
 
         # ---- seams fix: Half Tile (ref :7978-8061) ----
         if seam_fix_mode in ("Half Tile", "Half Tile + Intersections"):
@@ -257,6 +306,8 @@ def ultimate_sd_upscale(
             for yi in range(rows - 1):
                 band_y = (yi + 1) * tile_height
                 for xi in range(cols):
+                    if progress["stop"]:
+                        break
                     m = np.zeros((ch, cw), np.float32)
                     y1 = band_y - tile_height // 2
                     y2 = band_y + tile_height // 2
@@ -271,10 +322,13 @@ def ultimate_sd_upscale(
                         steps, cfg, seam_fix_denoise, sampler_name,
                         scheduler, seed,
                     )
+                    tick()
             # vertical seams
             for xi in range(cols - 1):
                 band_x = (xi + 1) * tile_width
                 for yi in range(rows):
+                    if progress["stop"]:
+                        break
                     m = np.zeros((ch, cw), np.float32)
                     x1 = band_x - tile_width // 2
                     x2 = band_x + tile_width // 2
@@ -287,6 +341,7 @@ def ultimate_sd_upscale(
                         steps, cfg, seam_fix_denoise, sampler_name,
                         scheduler, seed,
                     )
+                    tick()
         # ---- seams fix: + Intersections (radial masks at tile corners) ----
         if seam_fix_mode == "Half Tile + Intersections":
             yy, xx = np.mgrid[0:tile_height, 0:tile_width].astype(np.float32)
@@ -295,6 +350,8 @@ def ultimate_sd_upscale(
             radial = np.clip(1.0 - r / (min(tile_width, tile_height) / 2), 0, 1)
             for yi in range(rows - 1):
                 for xi in range(cols - 1):
+                    if progress["stop"]:
+                        break
                     m = np.zeros((ch, cw), np.float32)
                     y0 = (yi + 1) * tile_height - tile_height // 2
                     x0 = (xi + 1) * tile_width - tile_width // 2
@@ -307,6 +364,7 @@ def ultimate_sd_upscale(
                         steps, cfg, seam_fix_denoise, sampler_name,
                         scheduler, seed,
                     )
+                    tick()
         out.append(canvas)
     return np.stack(out)
 
@@ -321,7 +379,10 @@ class UltimateSDUpscale:
                 tile_height=512, mask_blur=16, tile_padding=32,
                 seam_fix_mode="Half Tile", seam_fix_denoise=0.2,
                 seam_fix_mask_blur=8, seam_fix_width=64, seam_fix_padding=16,
-                force_uniform_tiles=True):
+                force_uniform_tiles=True, batch_tiles=True, on_tile=None):
+        """``batch_tiles=False`` restores the reference's strictly
+        sequential tile ordering (each tile sees its neighbours' feather
+        zones); True batches Chess waves into one program per wave."""
         out = ultimate_sd_upscale(
             model, np.asarray(image), positive_prompt, negative_prompt,
             upscale_by=upscale_by, steps=steps, cfg=cfg, denoise=denoise,
@@ -331,6 +392,6 @@ class UltimateSDUpscale:
             seam_fix_mode=seam_fix_mode, seam_fix_denoise=seam_fix_denoise,
             seam_fix_width=seam_fix_width, seam_fix_mask_blur=seam_fix_mask_blur,
             seam_fix_padding=seam_fix_padding, esrgan=upscale_model, seed=seed,
-            mode_type=mode_type,
+            mode_type=mode_type, batch_tiles=batch_tiles, on_tile=on_tile,
         )
         return (out,)

@@ -159,3 +159,67 @@ def test_usdu_chess_batched_tiles():
     # at denoise 0.9 every region must have actually been redrawn
     up = np.asarray(upscale_image(img, 64, 128))
     assert np.abs(out - up).max() > 1e-3
+
+
+def test_usdu_interrupt_stops_within_one_tile():
+    """on_tile(done, total, canvas) with a False return stops the pass at
+    the next tile boundary (VERDICT r2 item 3; ref interrupt_flag polling
+    :922/:10794)."""
+    pipe = _tiny_pipe()
+    img = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    calls = []
+
+    def stop_after_first(done, total, canvas):
+        calls.append((done, total))
+        assert canvas.shape == (128, 128, 3)
+        return False
+
+    out = ultimate_sd_upscale(
+        pipe, img, "x", "", upscale_by=2.0, steps=2, denoise=0.9,
+        tile_width=32, tile_height=32, mask_blur=2, padding=4,
+        seam_fix_mode="Half Tile", seam_fix_denoise=0.3, seed=0,
+        on_tile=stop_after_first,
+    )
+    # exactly one tile was redrawn before the stop — not the full 16-tile
+    # grid plus 24 seam bands
+    assert calls == [(1, 40)]
+    assert out.shape == (1, 128, 128, 3)
+    assert np.isfinite(out).all()
+
+
+def test_usdu_on_tile_progress_counts():
+    """Full run reports monotonically increasing progress ending at total."""
+    pipe = _tiny_pipe()
+    img = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+    seen = []
+    out = ultimate_sd_upscale(
+        pipe, img, "x", "", upscale_by=2.0, steps=2, denoise=0.4,
+        tile_width=32, tile_height=32, mask_blur=2, padding=4,
+        seam_fix_mode="Half Tile", seam_fix_denoise=0.3, seed=0,
+        on_tile=lambda d, t, c: seen.append((d, t)),
+    )
+    assert out.shape == (1, 64, 64, 3)
+    dones = [d for d, _ in seen]
+    totals = {t for _, t in seen}
+    assert dones == sorted(dones) and len(totals) == 1
+    assert dones[-1] == totals.pop() == 8  # 2x2 tiles + 4 half-tile seams
+
+
+def test_usdu_chess_batched_interrupt():
+    """Batched Chess waves honor the stop contract between wave chunks."""
+    pipe = _tiny_pipe()
+    img = np.random.RandomState(2).rand(1, 64, 64, 3).astype(np.float32)
+    calls = []
+
+    def stop_immediately(done, total, canvas):
+        calls.append(done)
+        return False
+
+    out = ultimate_sd_upscale(
+        pipe, img, "x", "", upscale_by=2.0, steps=2, denoise=0.9,
+        tile_width=32, tile_height=32, mask_blur=2, padding=4,
+        seam_fix_mode="None", mode_type="Chess", batch_tiles=True, seed=0,
+        on_tile=stop_immediately,
+    )
+    assert len(calls) == 1  # stopped after the first wave sub-batch
+    assert out.shape == (1, 128, 128, 3)
