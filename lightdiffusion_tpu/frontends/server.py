@@ -34,7 +34,15 @@ Design:
 Endpoints:
   POST /txt2img  {"prompt": ..., "negative_prompt", "width", "height",
                   "steps", "cfg", "seed", "sampler", "scheduler",
-                  "format": "png"|"json"} → image/png bytes or JSON meta
+                  "hires_fix", "hires_steps", "hires_denoise", "hires_cfg",
+                  "format": "png"|"json"} → image/png bytes or JSON meta.
+                  hires_fix reproduces the reference's default headless
+                  output (bislerp x2 + euler_ancestral/normal partial
+                  denoise, ref :10060-10078), batched across requests.
+  POST /img2img  {"init_image": base64-PNG, "prompt", "upscale_by",
+                  "steps", "cfg", "denoise", "seam_fix_mode", ...} →
+                  UltimateSDUpscale per request (ref GUI img2img
+                  :10392-10417); never co-batched.
   GET  /healthz  → {"ok": true, ...}
   GET  /stats    → batching counters (requests, batches, batched_requests)
 """
@@ -62,24 +70,37 @@ MAX_CONTROL_IMAGE_BYTES = 16 << 20
 _ALLOWED = {
     "prompt", "negative_prompt", "width", "height", "steps", "cfg", "seed",
     "sampler", "scheduler", "format", "control_image", "control_strength",
-    "cfg_cutoff",
+    "cfg_cutoff", "hires_fix", "hires_steps", "hires_denoise", "hires_cfg",
+}
+
+_ALLOWED_IMG2IMG = {
+    "init_image", "prompt", "negative_prompt", "upscale_by", "steps", "cfg",
+    "denoise", "seed", "sampler", "scheduler", "mode_type", "seam_fix_mode",
+    "seam_fix_denoise", "tile_width", "tile_height", "mask_blur", "padding",
+    "format",
 }
 
 
 class _Request:
-    __slots__ = ("params", "event", "image", "error")
+    __slots__ = ("params", "kind", "event", "image", "error")
 
-    def __init__(self, params):
+    def __init__(self, params, kind="txt2img"):
         self.params = params
+        self.kind = kind
         self.event = threading.Event()
         self.image = None
         self.error = None
 
     def group_key(self):
         p = self.params
-        return (p["width"], p["height"], p["steps"], p["sampler"],
+        if self.kind == "img2img":
+            # per-request canvases (arbitrary sizes, long sequential tile
+            # loops) never co-batch — unique key per request
+            return ("img2img", id(self))
+        return ("txt2img", p["width"], p["height"], p["steps"], p["sampler"],
                 p["scheduler"], p["control_image"] is not None,
-                p["cfg_cutoff"])
+                p["cfg_cutoff"], p["hires_fix"], p["hires_steps"],
+                p["hires_denoise"])
 
 
 class GenerationServer:
@@ -109,9 +130,16 @@ class GenerationServer:
         self._drainer.start()
 
     # ------------------------------------------------------------- public ---
-    def submit(self, params: dict, timeout: float = 600.0) -> np.ndarray:
-        """Enqueue one generation; blocks until its image is ready."""
-        req = _Request(self._normalize(params))
+    def submit(self, params: dict, timeout: float = 600.0,
+               kind: str = "txt2img") -> np.ndarray:
+        """Enqueue one generation; blocks until its image is ready.
+        ``kind``: "txt2img" (batchable; optional hires_fix second pass —
+        the reference's DEFAULT headless output is always hires-fixed,
+        ref :10060-10078) or "img2img" (UltimateSDUpscale per-request)."""
+        if kind == "img2img":
+            req = _Request(self._normalize_img2img(params), kind)
+        else:
+            req = _Request(self._normalize(params))
         with self._stats_lock:
             self._stats["requests"] += 1
         self._queue.put(req)
@@ -197,11 +225,24 @@ class GenerationServer:
                 if params.get("cfg_cutoff") is not None
                 else None
             ),
+            # the reference's default headless output is hires-fixed
+            # (euler_ancestral/normal/10 steps/denoise 0.45/cfg 8,
+            # ref :10060-10078)
+            "hires_fix": bool(params.get("hires_fix", False)),
+            "hires_steps": int(params.get("hires_steps", 10)),
+            "hires_denoise": float(params.get("hires_denoise", 0.45)),
+            "hires_cfg": float(params.get("hires_cfg", 8.0)),
         }
         if not (64 <= p["width"] <= 2048 and 64 <= p["height"] <= 2048):
             raise ValueError("width/height out of range [64, 2048]")
         if not (1 <= p["steps"] <= 200):
             raise ValueError("steps out of range [1, 200]")
+        if not (1 <= p["hires_steps"] <= 200):
+            raise ValueError("hires_steps out of range [1, 200]")
+        if not (0.0 < p["hires_denoise"] <= 1.0):
+            raise ValueError("hires_denoise out of range (0, 1]")
+        if p["hires_fix"] and params.get("control_image") is not None:
+            raise ValueError("hires_fix does not combine with control_image")
         if p["cfg_cutoff"] is not None and not (0.0 < p["cfg_cutoff"] < 1.0):
             raise ValueError("cfg_cutoff must be in (0, 1)")
         if params.get("control_image") is not None:
@@ -230,6 +271,73 @@ class GenerationServer:
                 np.asarray(img, np.float32)[None] / 255.0
             )
         return p
+
+    def _normalize_img2img(self, params: dict) -> dict:
+        """USDU img2img request (defaults mirror the reference GUI img2img
+        call, ref :10392-10417)."""
+        if not isinstance(params, dict):
+            raise ValueError("request body must be a JSON object")
+        unknown = set(params) - _ALLOWED_IMG2IMG
+        if unknown:
+            raise ValueError(f"unknown fields: {sorted(unknown)}")
+        if params.get("init_image") is None:
+            raise ValueError("img2img needs init_image (base64 PNG)")
+        import base64
+        import io as _io
+
+        from PIL import Image
+
+        raw = base64.b64decode(params["init_image"])
+        if len(raw) > MAX_CONTROL_IMAGE_BYTES:
+            raise ValueError(
+                f"init_image too large "
+                f"(>{MAX_CONTROL_IMAGE_BYTES >> 20} MB decoded)"
+            )
+        img = Image.open(_io.BytesIO(raw)).convert("RGB")
+        if img.width * img.height > 4096 * 4096:
+            raise ValueError("init_image larger than 4096x4096")
+        p = {
+            "init_image": np.asarray(img, np.float32)[None] / 255.0,
+            "prompt": str(params.get("prompt", "")),
+            "negative_prompt": str(params.get("negative_prompt", "")),
+            "upscale_by": float(params.get("upscale_by", 2.0)),
+            "steps": int(params.get("steps", 8)),
+            "cfg": float(params.get("cfg", 6.0)),
+            "denoise": float(params.get("denoise", 0.3)),
+            "seed": int(params.get("seed", 0)),
+            "sampler": str(params.get("sampler", "dpmpp_2m_sde")),
+            "scheduler": str(params.get("scheduler", "karras")),
+            "mode_type": str(params.get("mode_type", "Linear")),
+            "seam_fix_mode": str(params.get("seam_fix_mode", "Half Tile")),
+            "seam_fix_denoise": float(params.get("seam_fix_denoise", 0.2)),
+            "tile_width": int(params.get("tile_width", 512)),
+            "tile_height": int(params.get("tile_height", 512)),
+            "mask_blur": int(params.get("mask_blur", 16)),
+            "padding": int(params.get("padding", 32)),
+            "format": str(params.get("format", "png")),
+        }
+        if not (1.0 <= p["upscale_by"] <= 4.0):
+            raise ValueError("upscale_by out of range [1, 4]")
+        if not (1 <= p["steps"] <= 200):
+            raise ValueError("steps out of range [1, 200]")
+        if not (0.0 < p["denoise"] <= 1.0):
+            raise ValueError("denoise out of range (0, 1]")
+        return p
+
+    def _run_img2img(self, req: _Request) -> np.ndarray:
+        from ..postprocess.usdu import ultimate_sd_upscale
+
+        p = req.params
+        return ultimate_sd_upscale(
+            self.pipe, p["init_image"], p["prompt"], p["negative_prompt"],
+            upscale_by=p["upscale_by"], steps=p["steps"], cfg=p["cfg"],
+            denoise=p["denoise"], sampler_name=p["sampler"],
+            scheduler=p["scheduler"], tile_width=p["tile_width"],
+            tile_height=p["tile_height"], mask_blur=p["mask_blur"],
+            padding=p["padding"], seam_fix_mode=p["seam_fix_mode"],
+            seam_fix_denoise=p["seam_fix_denoise"], seed=p["seed"],
+            mode_type=p["mode_type"],
+        )
 
     def _gather(self) -> list[_Request]:
         """One head-of-line request + compatible co-travellers (same static
@@ -284,6 +392,12 @@ class GenerationServer:
                 pipe = self.pipe
                 b = len(group)
                 p0 = group[0].params
+                if group[0].kind == "img2img":
+                    canvas = self._run_img2img(group[0])
+                    with self._stats_lock:
+                        self._stats["batches"] += 1
+                    self._pending.put((group, canvas))
+                    continue
                 latent = pipe.empty_latent(p0["width"], p0["height"], b)
                 conds = [pipe.encode_text(r.params["prompt"]) for r in group]
                 unconds = [
@@ -323,13 +437,30 @@ class GenerationServer:
                 # per-request seeds: initial + per-step sampler noise are
                 # drawn per sample (pipelines/sd.py), so co-batching never
                 # changes a request's image
+                pos_s, neg_s = stack(conds), stack(unconds)
+                seeds = [r.params["seed"] for r in group]
                 out = pipe.sample_latent(
-                    latent, stack(conds), stack(unconds),
-                    seed=[r.params["seed"] for r in group],
+                    latent, pos_s, neg_s, seed=seeds,
                     steps=p0["steps"], cfg=cfg,
                     sampler_name=p0["sampler"], scheduler=p0["scheduler"],
                     control=control, cfg_cutoff=p0["cfg_cutoff"],
                 )
+                if p0["hires_fix"]:
+                    # the reference's hires pass: bislerp x2 then
+                    # euler_ancestral/normal at partial denoise
+                    # (ref :10060-10078); hires_cfg rides per-sample
+                    out = pipe.upscale_latent(
+                        out, p0["width"] * 2, p0["height"] * 2, "bislerp"
+                    )
+                    hires_cfg = np.asarray(
+                        [r.params["hires_cfg"] for r in group], np.float32
+                    )
+                    out = pipe.sample_latent(
+                        out, pos_s, neg_s, seed=seeds,
+                        steps=p0["hires_steps"], cfg=hires_cfg,
+                        sampler_name="euler_ancestral", scheduler="normal",
+                        denoise=p0["hires_denoise"],
+                    )
                 # hand the UN-synCED device array to the drainer: the next
                 # batch's programs dispatch while this one transfers
                 device_images = pipe.decode(out)
@@ -405,7 +536,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         gen: GenerationServer = self.server.generation  # type: ignore
-        if self.path != "/txt2img":
+        if self.path not in ("/txt2img", "/img2img"):
             self._json(404, {"error": "not found"})
             return
         try:
@@ -414,7 +545,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json(413, {"error": "request body too large"})
                 return
             params = json.loads(self.rfile.read(n) or b"{}")
-            image = gen.submit(params)
+            image = gen.submit(params, kind=self.path.lstrip("/"))
         except (ValueError, KeyError) as e:
             self._json(400, {"error": str(e)})
             return
