@@ -106,35 +106,133 @@ def main():
         f"(±{images_per_min * per_std / per_image:.1f})")
     log(f"per-UNet-step (incl. CLIP+VAE amortized): {per_image/20*1000:.1f} ms")
 
-    # ---- opt-in accelerators, quantified on stderr (not the headline) ----
+    # ---- quality-gated opt-in accelerators (VERDICT r2 #1): each row
+    # prints img/min AND on-chip SSIM vs a fixed-seed baseline, flagged
+    # below the floor. Random weights; SSIM measures how much the
+    # accelerator perturbs the exact same trajectory, which is the claim
+    # each one makes. ----
+    from lightdiffusion_tpu.utils.ssim import ssim
+
+    SSIM_FLOOR = 0.90
+    QSEED = 1234
+
+    def quality_images(**kw):
+        """Fixed-seed batch-4 images for SSIM rows (separate from timing)."""
+        pos = pipe.encode_text(kw["prompt"])
+        neg = pipe.encode_text(kw["negative_prompt"])
+        latent = pipe.empty_latent(kw["width"], kw["height"], batch)
+        skw = dict(steps=kw["steps"], cfg=kw["cfg"],
+                   sampler_name=kw["sampler_name"], scheduler=kw["scheduler"])
+        for opt in ("deepcache_interval", "cfg_cutoff"):
+            if kw.get(opt):
+                skw[opt] = kw[opt]
+        out = pipe.sample_latent(latent, pos, neg, seed=QSEED, **skw)
+        return np.asarray(pipe.decode(out), np.float32)
+
+    def ssim_row(name, imgs, ref):
+        s = np.asarray(ssim(imgs, ref))
+        verdict = "PASS" if s.min() >= SSIM_FLOOR else f"FLAGGED(<{SSIM_FLOOR})"
+        log(f"  {name}: ssim={s.mean():.4f} (min {s.min():.4f}) "
+            f"quality-gate: {verdict}")
+        return float(s.mean())
+
+    imgs_base = imgs_sde = None
+    try:
+        imgs_base = quality_images(**kwargs)  # 20-step euler_ancestral
+        imgs_sde = quality_images(
+            **dict(kwargs, sampler_name="dpmpp_2m_sde")
+        )  # 20-step SDE baseline for the schedule-swap rows
+    except Exception as e:
+        log(f"quality baseline failed: {e}")
+
     try:
         dc, dc_std = pipelined(3, batch, deepcache_interval=2, **kwargs)
         log(f"DeepCache interval-2 (opt-in): {60.0/dc:.1f} img/min/chip "
             f"({dc*1000:.0f} ± {dc_std*1000:.0f} ms/image)")
+        if imgs_base is not None:
+            ssim_row("DeepCache-2 vs 20-step baseline",
+                     quality_images(deepcache_interval=2, **kwargs), imgs_base)
     except Exception as e:
         log(f"deepcache bench failed: {e}")
     try:
         ays_kw = dict(kwargs, scheduler="ays", steps=10,
                       sampler_name="dpmpp_2m_sde")
         ays, ays_std = pipelined(3, batch, **ays_kw)
-        log(f"AYS-10 dpmpp_2m_sde (≈20-step quality, arXiv 2404.14507): "
+        log(f"AYS-10 dpmpp_2m_sde (arXiv 2404.14507): "
             f"{60.0/ays:.1f} img/min/chip ({ays*1000:.0f} ± "
             f"{ays_std*1000:.0f} ms/image)")
+        if imgs_sde is not None:
+            # AYS swaps the sigma schedule, so this measures trajectory
+            # drift vs the same sampler at 20 steps — the honest bound on
+            # the "≈20-step quality" claim with these weights
+            ssim_row("AYS-10 vs 20-step dpmpp_2m_sde",
+                     quality_images(**ays_kw), imgs_sde)
     except Exception as e:
         log(f"AYS bench failed: {e}")
     try:
-        # everything-on preset: AYS-10 + ToMe-0.5 + CFG truncation
         pipe.set_tome(0.5)
+        tom, tom_std = pipelined(3, batch, **kwargs)
+        log(f"ToMe-0.5 (20-step euler_ancestral): {60.0/tom:.1f} img/min/chip "
+            f"({tom*1000:.0f} ± {tom_std*1000:.0f} ms/image)")
+        if imgs_base is not None:
+            ssim_row("ToMe-0.5 vs 20-step baseline",
+                     quality_images(**kwargs), imgs_base)
+        # everything-on preset: AYS-10 + ToMe-0.5 + CFG truncation
         stack_kw = dict(kwargs, scheduler="ays", steps=10,
                         sampler_name="dpmpp_2m_sde", cfg_cutoff=0.7)
         stk, stk_std = pipelined(3, batch, **stack_kw)
         log(f"stacked opt-ins (AYS-10 + ToMe-0.5 + cfg_cutoff 0.7): "
             f"{60.0/stk:.1f} img/min/chip ({stk*1000:.0f} ± "
             f"{stk_std*1000:.0f} ms/image)")
+        if imgs_sde is not None:
+            ssim_row("stacked vs 20-step dpmpp_2m_sde",
+                     quality_images(**stack_kw), imgs_sde)
     except Exception as e:
         log(f"stacked bench failed: {e}")
     finally:
         pipe.set_tome(0.0)
+
+    # bf16 cross-shape contract (VERDICT r2 weak #7): the same seed in a
+    # batch-4 program (per-sample keys) must perceptually match its solo
+    # batch-1 image — automated on-chip check of the recompile-divergence
+    # tolerance claims
+    try:
+        pos = pipe.encode_text(kwargs["prompt"])
+        neg = pipe.encode_text(kwargs["negative_prompt"])
+        skw = dict(steps=kwargs["steps"], cfg=kwargs["cfg"],
+                   sampler_name=kwargs["sampler_name"],
+                   scheduler=kwargs["scheduler"])
+        solo = np.asarray(pipe.decode(pipe.sample_latent(
+            pipe.empty_latent(512, 512, 1), pos, neg, seed=[QSEED], **skw
+        )))
+        batched = np.asarray(pipe.decode(pipe.sample_latent(
+            pipe.empty_latent(512, 512, batch), pos, neg,
+            seed=[QSEED + i for i in range(batch)], **skw
+        )))
+        s = float(np.asarray(ssim(solo[0], batched[0]))[0])
+        verdict = "PASS" if s >= 0.95 else "FLAGGED(<0.95)"
+        log(f"  bf16 batch-1 vs batch-4 same-seed: ssim={s:.4f} "
+            f"cross-shape-gate: {verdict}")
+    except Exception as e:
+        log(f"cross-shape check failed: {e}")
+
+    # int8 LAST: quantize_unet replaces the param tree in place
+    try:
+        pipe.quantize_unet()
+        i8, i8_std = pipelined(3, batch, **kwargs)
+        log(f"int8 W8A8 UNet (opt-in): {60.0/i8:.1f} img/min/chip "
+            f"({i8*1000:.0f} ± {i8_std*1000:.0f} ms/image)")
+        if imgs_base is not None:
+            ssim_row("int8 vs bf16 baseline", quality_images(**kwargs),
+                     imgs_base)
+    except Exception as e:
+        log(f"int8 bench failed: {e}")
+
+    if "--no-sdxl" not in sys.argv:
+        try:
+            bench_sdxl()
+        except Exception as e:
+            log(f"SDXL bench failed: {e}")
 
     print(json.dumps({
         "metric": "sd15_512x512_20step_txt2img_throughput",
@@ -142,6 +240,69 @@ def main():
         "unit": "images/min/chip",
         "vs_baseline": round(images_per_min / 30.0, 3),
     }))
+
+
+def bench_sdxl():
+    """SDXL (2.57B) on-chip rows (VERDICT r2 #2): random-init SDXL_UNET at
+    1024², 20 steps, dual-tower-shaped conds (random (1,77,2048) + pooled
+    (1,1280) → real ADM vectors), batch 1. Also int8 and ToMe-0.5 at XL
+    width — the two NOTES_ROUND2 projections that hung on this measurement."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightdiffusion_tpu.loader.checkpoint import init_random
+    from lightdiffusion_tpu.models.unet import SDXL_UNET
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+    from lightdiffusion_tpu.utils.ssim import ssim
+
+    log("-- SDXL 1024x1024 20-step (random-init, batch 1) --")
+    t0 = time.perf_counter()
+    sdx = init_random(jax.random.PRNGKey(1), unet_config=SDXL_UNET)
+    pipex = SDPipeline(sdx, policy=L.BF16)
+    log(f"  init_random SDXL: {time.perf_counter()-t0:.1f}s")
+    kc, kp = jax.random.split(jax.random.PRNGKey(2))
+    cond = (jax.random.normal(kc, (1, 77, 2048), jnp.float32) * 0.3,
+            jax.random.normal(kp, (1, 1280), jnp.float32) * 0.3)
+    neg = (jnp.zeros((1, 77, 2048), jnp.float32),
+           jnp.zeros((1, 1280), jnp.float32))
+    latent = pipex.empty_latent(1024, 1024, 1)
+
+    def runx(seed):
+        out = pipex.sample_latent(
+            latent, cond, neg, seed=seed, steps=20, cfg=7.0,
+            sampler_name="euler_ancestral", scheduler="karras",
+        )
+        return pipex.decode(out)
+
+    def timed(label, reps=2, groups=2):
+        img = runx(0)  # compile + warm
+        float(np.asarray(img.ravel()[0]))
+        times = []
+        for gi in range(groups):
+            t0 = time.perf_counter()
+            for i in range(reps):
+                img = runx(gi * reps + i + 1)
+            float(np.asarray(img.ravel()[0]))
+            times.append((time.perf_counter() - t0) / reps)
+        m = float(np.mean(times))
+        log(f"  {label}: {60.0/m:.2f} img/min/chip ({m*1000:.0f} ± "
+            f"{float(np.std(times))*1000:.0f} ms/image)")
+        return m, np.asarray(runx(777), np.float32)
+
+    base, img_base = timed("SDXL base")
+    pipex.set_tome(0.5)
+    try:
+        tom, img_tome = timed("SDXL ToMe-0.5")
+        s = float(np.asarray(ssim(img_tome, img_base)).min())
+        log(f"  SDXL ToMe-0.5: {base/tom:.2f}x speedup, ssim={s:.4f}")
+    finally:
+        pipex.set_tome(0.0)
+    pipex.quantize_unet()
+    i8, img_i8 = timed("SDXL int8 W8A8")
+    s = float(np.asarray(ssim(img_i8, img_base)).min())
+    log(f"  SDXL int8: {base/i8:.2f}x speedup, ssim={s:.4f} "
+        f"(verdict: {'keep' if base/i8 >= 1.1 else 'placebo at XL too — gate it'})")
 
 
 if __name__ == "__main__":

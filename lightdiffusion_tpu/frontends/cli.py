@@ -123,6 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--controlnet", default=None, metavar="CKPT",
                    help="serve with a ControlNet: requests may carry a "
                         "base64-PNG control_image (+ control_strength)")
+    s.add_argument("--adetailer", action="store_true",
+                   help="load the YOLO/SAM detector stack so requests may "
+                        "set adetailer=true (the ref GUI's two detail "
+                        "passes, :10621-10731)")
 
     d = sub.add_parser(
         "download",
@@ -192,9 +196,14 @@ def main(argv=None):
             from ..loader.checkpoint import load_controlnet
 
             cn = load_controlnet(args.controlnet)
+        detectors = None
+        if args.adetailer:
+            from ..pipelines.adetailer import load_detectors
+
+            detectors = load_detectors()
         serve(pipe, host=args.host, port=args.port,
               max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-              controlnet=cn)
+              controlnet=cn, detectors=detectors)
         return
     if args.command == "pipeline":
         pipeline(

@@ -279,10 +279,13 @@ def main():  # pragma: no cover - needs a display
     tome_var = tk.BooleanVar()
     freeu_var = tk.BooleanVar()
     deepcache_var = tk.BooleanVar()
+    # int8 is labeled for what it measurably is: ~1x e2e speed at every
+    # width tested (512² SD1.5 AND 1024² SDXL — BENCH_r03), but it halves
+    # UNet weight HBM; not a speed lever (NOTES_ROUND3)
     for label, var in [("Hires Fix", hires_var), ("Adetailer", adet_var),
                        ("Prompt enhancer", enh_var), ("Previewer", prev_var),
-                       ("Int8 accelerator", int8_var),
-                       ("ToMe accelerator", tome_var),
+                       ("Int8 (saves HBM, ~1x speed)", int8_var),
+                       ("ToMe (wins at hires/XL sizes)", tome_var),
                        ("DeepCache accelerator", deepcache_var),
                        ("FreeU quality", freeu_var)]:
         tk.Checkbutton(side, text=label, variable=var).pack(anchor="w")

@@ -71,6 +71,7 @@ _ALLOWED = {
     "prompt", "negative_prompt", "width", "height", "steps", "cfg", "seed",
     "sampler", "scheduler", "format", "control_image", "control_strength",
     "cfg_cutoff", "hires_fix", "hires_steps", "hires_denoise", "hires_cfg",
+    "adetailer",
 }
 
 _ALLOWED_IMG2IMG = {
@@ -100,20 +101,27 @@ class _Request:
         return ("txt2img", p["width"], p["height"], p["steps"], p["sampler"],
                 p["scheduler"], p["control_image"] is not None,
                 p["cfg_cutoff"], p["hires_fix"], p["hires_steps"],
-                p["hires_denoise"])
+                p["hires_denoise"], p["adetailer"])
 
 
 class GenerationServer:
     """Batching worker around one SDPipeline. Thread-safe submit()."""
 
     def __init__(self, pipe, max_batch: int = 4, max_wait_ms: float = 25.0,
-                 max_in_flight: int = 2, controlnet=None):
+                 max_in_flight: int = 2, controlnet=None, detectors=None,
+                 adetailer_kwargs: dict | None = None):
         """``controlnet``: optional (params, UNetConfig) from
         loader.checkpoint.load_controlnet — requests may then carry a
         base64-PNG ``control_image`` (+ ``control_strength``), batched as
-        per-sample hints/strengths."""
+        per-sample hints/strengths. ``detectors``: optional (person, face,
+        sam) triple (pipelines.adetailer.load_detectors) enabling the
+        ``adetailer`` request flag — the reference GUI's two detail passes
+        (ref :10621-10731) as a serving option."""
         self.pipe = pipe
         self.controlnet = controlnet
+        self.detectors = detectors
+        # deployment-level detailer settings (guide_size/steps/denoise...)
+        self.adetailer_kwargs = dict(adetailer_kwargs or {})
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self._queue: queue.Queue[_Request] = queue.Queue()
@@ -232,7 +240,13 @@ class GenerationServer:
             "hires_steps": int(params.get("hires_steps", 10)),
             "hires_denoise": float(params.get("hires_denoise", 0.45)),
             "hires_cfg": float(params.get("hires_cfg", 8.0)),
+            "adetailer": bool(params.get("adetailer", False)),
         }
+        if p["adetailer"] and self.detectors is None:
+            raise ValueError(
+                "this server has no detailer detectors loaded (start with "
+                "serve --adetailer)"
+            )
         if not (64 <= p["width"] <= 2048 and 64 <= p["height"] <= 2048):
             raise ValueError("width/height out of range [64, 2048]")
         if not (1 <= p["steps"] <= 200):
@@ -464,6 +478,16 @@ class GenerationServer:
                 # hand the UN-synCED device array to the drainer: the next
                 # batch's programs dispatch while this one transfers
                 device_images = pipe.decode(out)
+                if p0["adetailer"]:
+                    # detail passes run on the worker (it owns the chip);
+                    # per-request seeds keep per-seg seeds reproducible
+                    from ..pipelines.adetailer import adetailer as run_adet
+
+                    device_images = run_adet(
+                        pipe, np.asarray(device_images, np.float32),
+                        detectors=self.detectors, seed=seeds[0],
+                        **self.adetailer_kwargs,
+                    )
                 with self._stats_lock:
                     self._stats["batches"] += 1
                     if b > 1:
@@ -569,23 +593,24 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(pipe, host: str = "127.0.0.1", port: int = 0,
                 max_batch: int = 4, max_wait_ms: float = 25.0,
                 max_in_flight: int = 2,
-                controlnet=None) -> ThreadingHTTPServer:
+                controlnet=None, detectors=None) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``server.generation`` holds
     the batching worker. port=0 picks a free port (tests)."""
     httpd = ThreadingHTTPServer((host, port), _Handler)
     httpd.generation = GenerationServer(  # type: ignore[attr-defined]
         pipe, max_batch=max_batch, max_wait_ms=max_wait_ms,
         max_in_flight=max_in_flight, controlnet=controlnet,
+        detectors=detectors,
     )
     return httpd
 
 
 def serve(pipe, host: str = "0.0.0.0", port: int = 8000,
           max_batch: int = 4, max_wait_ms: float = 25.0,
-          max_in_flight: int = 2, controlnet=None):
+          max_in_flight: int = 2, controlnet=None, detectors=None):
     """Blocking serve loop (CLI `serve` subcommand)."""
     httpd = make_server(pipe, host, port, max_batch, max_wait_ms,
-                        max_in_flight, controlnet)
+                        max_in_flight, controlnet, detectors)
     log.info("serving on http://%s:%d (max_batch=%d)", host, port, max_batch)
     try:
         httpd.serve_forever()

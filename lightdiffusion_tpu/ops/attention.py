@@ -29,6 +29,16 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
 
 
+def shrink_to_divisor(block: int, n: int) -> int:
+    """Largest power-of-two ≤ block dividing n (1 if n is odd). Kernel block
+    sizes MUST divide the sequence length — the pallas grids use integer
+    division, so a non-dividing block silently drops the tail tokens."""
+    block = min(block, n)
+    while block > 1 and n % block:
+        block //= 2
+    return block
+
+
 # ------------------------------------------------------------------ XLA -----
 def attention_xla(q, k, v, scale: float | None = None):
     """Reference multi-head attention, fp32 softmax. (B,H,S,D),(B,H,T,D)."""
@@ -136,6 +146,17 @@ def flash_attention(q, k, v, scale=None, block_q: int = 1024,
             block_k //= 2
         else:
             block_q //= 2
+    # block sizes must DIVIDE the sequence lengths: the grid below uses
+    # integer division, so a non-dividing block SILENTLY DROPS the tail
+    # tokens (ToMe-merged lengths like 2560 = 2.5·1024 hit this — found by
+    # the bench's SSIM gate as NaN images)
+    block_q = shrink_to_divisor(block_q, sq)
+    block_k = shrink_to_divisor(block_k, t)
+    if sq % block_q or t % block_k:
+        raise ValueError(
+            f"flash_attention needs power-of-two-divisible seq lens, got "
+            f"sq={sq} t={t} (use the XLA path)"
+        )
     if d_pad != d:
         pad = [(0, 0)] * 3 + [(0, d_pad - d)]
         q = jnp.pad(q, pad)
@@ -310,6 +331,14 @@ def flash_attention_bwd(q, k, v, o, lse, do, scale=None,
             block_k //= 2
         else:
             block_q //= 2
+    # divisibility shrink — same silent-tail-drop hazard as the forward
+    block_q = shrink_to_divisor(block_q, sq)
+    block_k = shrink_to_divisor(block_k, t)
+    if sq % block_q or t % block_k:
+        raise ValueError(
+            f"flash_attention_bwd needs power-of-two-divisible seq lens, "
+            f"got sq={sq} t={t}"
+        )
 
     if d_pad != d:
         pad = [(0, 0)] * 3 + [(0, d_pad - d)]
@@ -420,6 +449,10 @@ def attention(q, k, v, scale=None, force: str | None = None):
 
     ``force``: None (auto) | 'xla' | 'flash'.
     """
+    if force not in (None, "xla", "flash"):
+        raise ValueError(
+            f"unknown attention force {force!r}; use 'xla' or 'flash'"
+        )
     sq, t = q.shape[2], k.shape[2]
     # measured on v5e (S=1024, D=80): XLA 182us vs flash 295us — the fused
     # XLA path wins below ~2k tokens; flash wins 1.8-2.4x at 4096 and is the

@@ -145,3 +145,30 @@ def test_flash_lse_matches_xla(monkeypatch):
     ref = jax.scipy.special.logsumexp(s, axis=-1)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(ref),
                                atol=1e-4, rtol=1e-5)
+
+
+def test_shrink_to_divisor():
+    """Kernel blocks must DIVIDE the sequence length — a non-dividing block
+    silently drops tail tokens (the grid uses integer division). Found on
+    chip via NaN ToMe images at merged length 2560 (BENCH_r03 ssim gate)."""
+    from lightdiffusion_tpu.ops.attention import shrink_to_divisor
+
+    assert shrink_to_divisor(1024, 4096) == 1024
+    assert shrink_to_divisor(1024, 2560) == 512   # 2560 = 5*512
+    assert shrink_to_divisor(1024, 3328) == 256   # 3328 = 13*256
+    assert shrink_to_divisor(1024, 2048) == 1024
+    assert shrink_to_divisor(1024, 512) == 512    # block > seq clamps
+    assert shrink_to_divisor(1024, 384) == 384
+    assert shrink_to_divisor(1024, 333) == 333    # block clamps to n
+    assert shrink_to_divisor(128, 333) == 1       # odd tail → degenerate
+
+
+def test_attention_rejects_unknown_force():
+    import jax
+    import pytest as _pytest
+
+    from lightdiffusion_tpu.ops.attention import attention
+
+    q = jax.numpy.zeros((1, 2, 8, 16))
+    with _pytest.raises(ValueError, match="unknown attention force"):
+        attention(q, q, q, force="pallas")

@@ -496,3 +496,36 @@ def test_server_img2img_usdu_endpoint(pipe):
         httpd.generation.shutdown()
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_server_adetailer_flag(pipe):
+    """adetailer=true runs the two detail passes on the worker when the
+    server holds a detector stack; without one it is a client error."""
+
+    def fake_detector(image, conf=0.5):
+        return (np.array([[8.0, 8.0, 40.0, 40.0]]), np.array([0.9]),
+                ["face"], None)
+
+    gen = GenerationServer(
+        pipe, max_wait_ms=5.0, detectors=(None, fake_detector, None),
+        adetailer_kwargs=dict(steps=2, guide_size=32, max_size=48,
+                              noise_mask_feather=2),
+    )
+    try:
+        plain = gen.submit({"prompt": "x", "width": 64, "height": 64,
+                            "steps": 2, "seed": 3})
+        detailed = gen.submit({"prompt": "x", "width": 64, "height": 64,
+                               "steps": 2, "seed": 3, "adetailer": True})
+        assert detailed.shape == (64, 64, 3)
+        assert np.isfinite(detailed).all()
+        assert np.abs(detailed - plain).max() > 1e-5  # the pass ran
+    finally:
+        gen.shutdown()
+
+    gen2 = GenerationServer(pipe, max_wait_ms=5.0)
+    try:
+        with pytest.raises(ValueError, match="no detailer detectors"):
+            gen2.submit({"prompt": "x", "width": 64, "height": 64,
+                         "steps": 2, "adetailer": True})
+    finally:
+        gen2.shutdown()
