@@ -27,6 +27,10 @@ from .persistence import SessionParams, load_parameters_from_file, write_paramet
 
 log = logging.getLogger(__name__)
 
+# sentinel: "keep the controller's current selection" — distinct from None,
+# which callers use to mean "no checkpoint / random-init"
+_KEEP = object()
+
 
 class GenerationController:
     """GUI-independent orchestration (testable headlessly): holds the
@@ -116,6 +120,8 @@ class GenerationController:
         tome: bool = False,  # ToMe 0.5 (ops/tome.py)
         freeu: bool = False,  # FreeU paper defaults (models/unet.py)
         deepcache: bool = False,  # DeepCache interval 2 (chunked-capable)
+        checkpoint=_KEEP,  # explicit selection; _KEEP = current
+        lora=_KEEP,
     ) -> np.ndarray | None:
         from ..models.taesd import latent_to_rgb_preview
 
@@ -127,6 +133,7 @@ class GenerationController:
                 prompt, neg, width, height, cfg, seed, steps, sampler_name,
                 scheduler, hires_fix, adetailer, enhance, preview_cb,
                 progress_cb, random_init, int8, tome, freeu, deepcache,
+                checkpoint, lora,
             )
         finally:
             self._run_lock.release()
@@ -135,12 +142,16 @@ class GenerationController:
                          sampler_name, scheduler, hires_fix, adetailer,
                          enhance, preview_cb, progress_cb, random_init,
                          int8=False, tome=False, freeu=False,
-                         deepcache=False):
+                         deepcache=False, checkpoint=_KEEP, lora=_KEEP):
         from ..models.taesd import latent_to_rgb_preview
 
         self.interrupt_flag = False  # the reference forgets this (:10794)
-        pipe = self.prep(self.current_checkpoint, self.current_lora,
-                         random_init=random_init, int8=int8)
+        # selections are passed IN, not pre-written to current_* — writing
+        # them first would make prep()'s change detection vacuous and hand
+        # back a stale pipe with the previous checkpoint's weights
+        ckpt = self.current_checkpoint if checkpoint is _KEEP else checkpoint
+        lra = self.current_lora if lora is _KEEP else lora
+        pipe = self.prep(ckpt, lra, random_init=random_init, int8=int8)
         if tome != (pipe.sd.unet_config.tome_ratio > 0):
             pipe.set_tome(0.5 if tome else 0.0)
         if freeu != bool(pipe.sd.unet_config.freeu):
@@ -241,21 +252,29 @@ def main():  # pragma: no cover - needs a display
     ttk.Combobox(side, textvariable=ckpt_var, values=ckpts).pack(fill="x")
     ttk.Combobox(side, textvariable=lora_var, values=loras).pack(fill="x")
 
+    # read the Tk selections on the MAIN thread (Tcl variable access is not
+    # thread-safe), then preload + warm on a daemon thread (ref _prep thread
+    # :10243); warm the CHUNKED program — it is what Generate actually runs
+    # (sample_latent_chunked, a different jit program than the monolithic
+    # warmup bucket), so the first click reuses the hot executable
+    _preload_ckpt = None if ckpt_var.get() == "random-init" else ckpt_var.get()
+    _preload_lora = lora_var.get()
+    _preload_random = ckpt_var.get() == "random-init"
+
     def preload():
-        # checkpoint preload + AOT warmup on a daemon thread at startup
-        # (ref _prep thread :10243) so the first Generate is warm; the
-        # single-flight lock in ctl.generate keeps this race-free
         try:
             with ctl._run_lock:
-                pipe = ctl.prep(
-                    None if ckpt_var.get() == "random-init" else ckpt_var.get(),
-                    lora_var.get(),
-                    random_init=ckpt_var.get() == "random-init",
+                pipe = ctl.prep(_preload_ckpt, _preload_lora,
+                                random_init=_preload_random)
+                pos = pipe.encode_text("warmup")
+                neg = pipe.encode_text("")
+                lat = pipe.empty_latent(saved.width, saved.height, 1)
+                out = pipe.sample_latent_chunked(
+                    lat, pos, neg, steps=20, cfg=7.0,
+                    sampler_name="dpmpp_2m_sde", scheduler="karras",
+                    chunk_size=5,
                 )
-                from ..runtime.warmup import warmup
-
-                warmup(pipe, buckets=[(saved.width, saved.height, 20,
-                                       "dpmpp_2m_sde", "karras", 1.0)])
+                pipe.decode(out)
         except Exception:
             log.exception("startup preload failed (first Generate pays it)")
 
@@ -320,23 +339,32 @@ def main():  # pragma: no cover - needs a display
 
     def run_generate():
         persist()
-        ctl.current_checkpoint = None if ckpt_var.get() == "random-init" else ckpt_var.get()
-        ctl.current_lora = lora_var.get()
+        # snapshot every Tk variable on the main thread; the worker thread
+        # receives plain values (and the selection goes through generate()'s
+        # checkpoint=/lora= args so prep() sees a real change)
+        sel_ckpt = None if ckpt_var.get() == "random-init" else ckpt_var.get()
+        sel_lora = lora_var.get()
+        sel_random = ckpt_var.get() == "random-init"
+        args = (prompt_box.get("1.0", "end").strip(),
+                neg_box.get("1.0", "end").strip(),
+                w_var.get(), h_var.get(), cfg_var.get())
+        opts = dict(
+            hires_fix=hires_var.get(), adetailer=adet_var.get(),
+            enhance=enh_var.get(), int8=int8_var.get(),
+            tome=tome_var.get(), freeu=freeu_var.get(),
+            deepcache=deepcache_var.get(),
+        )
+        do_preview = prev_var.get()
 
         def work():
             imgs = ctl.generate(
-                prompt_box.get("1.0", "end").strip(),
-                neg_box.get("1.0", "end").strip(),
-                w_var.get(), h_var.get(), cfg_var.get(),
-                hires_fix=hires_var.get(), adetailer=adet_var.get(),
-                enhance=enh_var.get(),
-                preview_cb=(lambda p: root.after(0, show, p)) if prev_var.get() else None,
+                *args,
+                preview_cb=(lambda p: root.after(0, show, p)) if do_preview else None,
                 progress_cb=lambda d, t: root.after(
                     0, root.title, f"LightDiffusion-TPU — {d}/{t}"
                 ),
-                random_init=ckpt_var.get() == "random-init",
-                int8=int8_var.get(), tome=tome_var.get(),
-                freeu=freeu_var.get(), deepcache=deepcache_var.get(),
+                random_init=sel_random, checkpoint=sel_ckpt, lora=sel_lora,
+                **opts,
             )
             if imgs is not None:
                 from ..nodes import SaveImage
@@ -350,6 +378,13 @@ def main():  # pragma: no cover - needs a display
         path = filedialog.askopenfilename()
         if not path:
             return
+        # main-thread snapshot of Tk state (Tcl is not thread-safe)
+        sel_ckpt = None if ckpt_var.get() == "random-init" else ckpt_var.get()
+        sel_lora = lora_var.get()
+        sel_random = ckpt_var.get() == "random-init"
+        sel_prompt = prompt_box.get("1.0", "end").strip()
+        sel_neg = neg_box.get("1.0", "end").strip()
+        do_preview = prev_var.get()
 
         def work():
             from ..postprocess.usdu import ultimate_sd_upscale
@@ -357,24 +392,20 @@ def main():  # pragma: no cover - needs a display
 
             # the reference's img2img reloads the LoRA at strength 2/2
             # (:10345-10355)
-            pipe = ctl.prep(
-                None if ckpt_var.get() == "random-init" else ckpt_var.get(),
-                lora_var.get(), random_init=ckpt_var.get() == "random-init",
-                lora_strength=2.0,
-            )
+            pipe = ctl.prep(sel_ckpt, sel_lora, random_init=sel_random,
+                            lora_strength=2.0)
             img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
             ctl.interrupt_flag = False
 
             def on_tile(done, total, canvas):
                 root.after(0, root.title,
                            f"LightDiffusion-TPU — img2img {done}/{total}")
-                if prev_var.get():
+                if do_preview:
                     root.after(0, show, canvas)
                 return not ctl.interrupt_flag
 
             out = ultimate_sd_upscale(
-                pipe, img[None], prompt_box.get("1.0", "end").strip(),
-                neg_box.get("1.0", "end").strip(), upscale_by=2.0, steps=8,
+                pipe, img[None], sel_prompt, sel_neg, upscale_by=2.0, steps=8,
                 cfg=6.0, denoise=0.3, mask_blur=16, padding=32,
                 seam_fix_mode="Half Tile", seam_fix_denoise=0.2,
                 on_tile=on_tile,

@@ -61,11 +61,41 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-# Request-size caps: the server binds 0.0.0.0 by default, so an oversized
-# body (or a base64 bomb in control_image) must be rejected before it is
-# buffered/decoded, not after.
+# Request-size caps: the server binds 0.0.0.0 by default. HTTP bodies are
+# rejected at MAX_BODY_BYTES (413) before buffering — that is the operative
+# limit for base64 payloads over HTTP (~6 MB decoded). The image-bytes cap
+# below guards direct library submit() callers (no HTTP body limit) and is
+# measured on the COMPRESSED payload; the decompression-bomb guard is the
+# separate pixel-count check done on the PIL header before any decode.
 MAX_BODY_BYTES = 8 << 20
 MAX_CONTROL_IMAGE_BYTES = 16 << 20
+MAX_IMAGE_PIXELS = 4096 * 4096
+
+
+def _open_image_checked(raw: bytes, what: str):
+    """bytes → PIL RGB image with client-fault errors: size cap on the
+    header BEFORE full decode (PIL parses only metadata at open()), and
+    malformed data surfaced as ValueError (→ HTTP 400, not 500)."""
+    import io as _io
+
+    from PIL import Image
+
+    if len(raw) > MAX_CONTROL_IMAGE_BYTES:
+        raise ValueError(
+            f"{what} too large (>{MAX_CONTROL_IMAGE_BYTES >> 20} MB payload)"
+        )
+    try:
+        img = Image.open(_io.BytesIO(raw))
+        if img.width * img.height > MAX_IMAGE_PIXELS:
+            raise ValueError(
+                f"{what} larger than {MAX_IMAGE_PIXELS} pixels "
+                f"({img.width}x{img.height})"
+            )
+        return img.convert("RGB")
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"{what} is not a decodable image: {e}")
 
 _ALLOWED = {
     "prompt", "negative_prompt", "width", "height", "steps", "cfg", "seed",
@@ -257,6 +287,11 @@ class GenerationServer:
             raise ValueError("hires_denoise out of range (0, 1]")
         if p["hires_fix"] and params.get("control_image") is not None:
             raise ValueError("hires_fix does not combine with control_image")
+        if p["hires_fix"] and (p["width"] > 1024 or p["height"] > 1024):
+            # the second pass runs at 2x, which must stay inside the same
+            # [64, 2048] envelope the base validation enforces
+            raise ValueError("hires_fix doubles the size; width/height must "
+                             "be <= 1024")
         if p["cfg_cutoff"] is not None and not (0.0 < p["cfg_cutoff"] < 1.0):
             raise ValueError("cfg_cutoff must be in (0, 1)")
         if params.get("control_image") is not None:
@@ -266,17 +301,9 @@ class GenerationServer:
                     "serve --controlnet CKPT)"
                 )
             import base64
-            import io as _io
-
-            from PIL import Image
 
             raw = base64.b64decode(params["control_image"])
-            if len(raw) > MAX_CONTROL_IMAGE_BYTES:
-                raise ValueError(
-                    f"control_image too large "
-                    f"(>{MAX_CONTROL_IMAGE_BYTES >> 20} MB decoded)"
-                )
-            img = Image.open(_io.BytesIO(raw)).convert("RGB")
+            img = _open_image_checked(raw, "control_image")
             # the hint encoder downsamples ×8 to latent resolution, so the
             # hint target is latent·8 (== pixel size for the SD ratio-8 VAE)
             r = self.pipe.sd.vae_config.downscale_ratio
@@ -297,19 +324,9 @@ class GenerationServer:
         if params.get("init_image") is None:
             raise ValueError("img2img needs init_image (base64 PNG)")
         import base64
-        import io as _io
-
-        from PIL import Image
 
         raw = base64.b64decode(params["init_image"])
-        if len(raw) > MAX_CONTROL_IMAGE_BYTES:
-            raise ValueError(
-                f"init_image too large "
-                f"(>{MAX_CONTROL_IMAGE_BYTES >> 20} MB decoded)"
-            )
-        img = Image.open(_io.BytesIO(raw)).convert("RGB")
-        if img.width * img.height > 4096 * 4096:
-            raise ValueError("init_image larger than 4096x4096")
+        img = _open_image_checked(raw, "init_image")
         p = {
             "init_image": np.asarray(img, np.float32)[None] / 255.0,
             "prompt": str(params.get("prompt", "")),
@@ -479,15 +496,20 @@ class GenerationServer:
                 # batch's programs dispatch while this one transfers
                 device_images = pipe.decode(out)
                 if p0["adetailer"]:
-                    # detail passes run on the worker (it owns the chip);
-                    # per-request seeds keep per-seg seeds reproducible
+                    # detail passes run on the worker (it owns the chip),
+                    # one call PER request with its own seed — co-batching
+                    # must never change a request's image
                     from ..pipelines.adetailer import adetailer as run_adet
 
-                    device_images = run_adet(
-                        pipe, np.asarray(device_images, np.float32),
-                        detectors=self.detectors, seed=seeds[0],
-                        **self.adetailer_kwargs,
-                    )
+                    imgs_np = np.asarray(device_images, np.float32)
+                    device_images = np.concatenate([
+                        run_adet(
+                            pipe, imgs_np[i : i + 1],
+                            detectors=self.detectors, seed=seeds[i],
+                            **self.adetailer_kwargs,
+                        )
+                        for i in range(b)
+                    ], axis=0)
                 with self._stats_lock:
                     self._stats["batches"] += 1
                     if b > 1:

@@ -152,10 +152,13 @@ def flash_attention(q, k, v, scale=None, block_q: int = 1024,
     # the bench's SSIM gate as NaN images)
     block_q = shrink_to_divisor(block_q, sq)
     block_k = shrink_to_divisor(block_k, t)
-    if sq % block_q or t % block_k:
+    # a block that shrank below 128 (without being the whole sequence)
+    # means the length has no viable power-of-two divisor — a (…,1,d)
+    # grid would be pathologically slow; the caller should use XLA
+    if (block_q < 128 and block_q != sq) or (block_k < 128 and block_k != t):
         raise ValueError(
-            f"flash_attention needs power-of-two-divisible seq lens, got "
-            f"sq={sq} t={t} (use the XLA path)"
+            f"flash_attention: no viable block divides sq={sq} t={t} "
+            f"(use the XLA path)"
         )
     if d_pad != d:
         pad = [(0, 0)] * 3 + [(0, d_pad - d)]
@@ -334,10 +337,10 @@ def flash_attention_bwd(q, k, v, o, lse, do, scale=None,
     # divisibility shrink — same silent-tail-drop hazard as the forward
     block_q = shrink_to_divisor(block_q, sq)
     block_k = shrink_to_divisor(block_k, t)
-    if sq % block_q or t % block_k:
+    if (block_q < 128 and block_q != sq) or (block_k < 128 and block_k != t):
         raise ValueError(
-            f"flash_attention_bwd needs power-of-two-divisible seq lens, "
-            f"got sq={sq} t={t}"
+            f"flash_attention_bwd: no viable block divides sq={sq} t={t} "
+            f"(use the XLA path)"
         )
 
     if d_pad != d:

@@ -838,6 +838,7 @@ class SDPipeline:
                 denoise=denoise, deepcache_interval=deepcache_interval,
                 cfg_cutoff=cfg_cutoff, noise_mask=noise_mask,
                 differential_diffusion=differential_diffusion,
+                sampler_options=sampler_options,
             )
         import math as _math
 

@@ -310,3 +310,34 @@ def test_cli_download_noop(monkeypatch, capsys):
 
     monkeypatch.setattr(builtins, "__import__", no_hub)
     cli.main(["download"])
+
+
+def test_generation_controller_checkpoint_switch(tmp_path, monkeypatch):
+    """Selecting a different checkpoint before Generate reloads the pipe
+    (code-review r3: pre-writing current_* made prep()'s change detection
+    vacuous and served stale weights)."""
+    from lightdiffusion_tpu.frontends import gui as G
+
+    calls = []
+
+    class FakePipe:
+        def __init__(self, tag):
+            self.tag = tag
+
+    def fake_load(checkpoint=None, loras=(), clip_skip=-2, random_init=False):
+        calls.append((checkpoint, tuple(loras)))
+        return FakePipe(checkpoint)
+
+    monkeypatch.setattr(
+        "lightdiffusion_tpu.frontends.headless.load_default_pipeline",
+        fake_load,
+    )
+    ctl = G.GenerationController()
+    p1 = ctl.prep("A", "None")
+    assert p1.tag == "A"
+    # same selection → cached
+    assert ctl.prep("A", "None") is p1
+    # new selection passed explicitly (as generate(checkpoint=...) does)
+    p2 = ctl.prep("B", "None")
+    assert p2.tag == "B" and p2 is not p1
+    assert [c[0] for c in calls] == ["A", "B"]

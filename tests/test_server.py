@@ -529,3 +529,60 @@ def test_server_adetailer_flag(pipe):
                          "steps": 2, "adetailer": True})
     finally:
         gen2.shutdown()
+
+
+def test_server_hires_size_cap_and_bad_image(pipe):
+    """Code-review r3 fixes: hires_fix cannot escape the [64,2048] envelope
+    via the 2x second pass, and malformed/oversized images are client
+    faults (ValueError -> 400), not 500s."""
+    import base64
+
+    gen = GenerationServer(pipe, max_wait_ms=5.0)
+    try:
+        with pytest.raises(ValueError, match="hires_fix doubles"):
+            gen.submit({"prompt": "x", "width": 2048, "height": 2048,
+                        "steps": 2, "hires_fix": True})
+        bad = base64.b64encode(b"not an image at all").decode()
+        with pytest.raises(ValueError, match="not a decodable image"):
+            gen.submit({"init_image": bad, "prompt": "x"}, kind="img2img")
+    finally:
+        gen.shutdown()
+
+
+def test_server_batched_adetailer_per_request_seed(pipe):
+    """Co-batched adetailer requests each use their OWN seed: a request's
+    detailed image matches its solo run (code-review r3 finding 1)."""
+
+    def fake_detector(image, conf=0.5):
+        return (np.array([[8.0, 8.0, 40.0, 40.0]]), np.array([0.9]),
+                ["face"], None)
+
+    kw = dict(detectors=(None, fake_detector, None),
+              adetailer_kwargs=dict(steps=2, guide_size=32, max_size=48,
+                                    noise_mask_feather=2))
+    gen = GenerationServer(pipe, max_batch=4, max_wait_ms=300.0, **kw)
+    try:
+        results = {}
+
+        def fire(i):
+            results[i] = gen.submit({"prompt": "x", "width": 64,
+                                     "height": 64, "steps": 2, "seed": i,
+                                     "adetailer": True})
+
+        threads = [threading.Thread(target=fire, args=(i,)) for i in (1, 2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert gen.stats()["batches"] == 1  # they really co-batched
+    finally:
+        gen.shutdown()
+
+    solo = GenerationServer(pipe, max_wait_ms=5.0, **kw)
+    try:
+        for i in (1, 2):
+            ref = solo.submit({"prompt": "x", "width": 64, "height": 64,
+                               "steps": 2, "seed": i, "adetailer": True})
+            np.testing.assert_allclose(results[i], ref, atol=1e-5)
+    finally:
+        solo.shutdown()
