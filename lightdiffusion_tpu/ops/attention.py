@@ -447,6 +447,27 @@ def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
 
 
+def _auto_flash(b: int, h: int, sq: int, t: int, d: int) -> bool:
+    """Flash-vs-XLA crossover rule, measured in-scan on v5e
+    (scratch/attn_crossover.py, marginal rate between scan lengths so relay
+    dispatch cancels):
+
+    - s>=2048: flash wins 1.8-2.7x and is the only option at 16384 tokens
+      (XLA OOMs materializing S×S).
+    - s=1024: flash wins 2.6-2.8x once the (batch·heads) grid is large
+      (b·h=40, SDXL's 32² stage: XLA 491us vs flash 187us) and 1.5x at
+      d=80 (SD1.5 32²: XLA pads 80→128 lanes; 133us vs 88us); XLA keeps
+      a 1.2-1.4x edge only at small grids with MXU-aligned d (b·h=16,
+      d∈{64,128}).
+    - s<=512: XLA wins everywhere (2-3x) — grid too small to fill.
+    """
+    return (
+        sq % 256 == 0
+        and t % 256 == 0
+        and (sq >= 2048 or (sq >= 1024 and (b * h >= 32 or d % 64 != 0)))
+    )
+
+
 def attention(q, k, v, scale=None, force: str | None = None):
     """Multi-head attention dispatcher. q:(B,H,S,D) k/v:(B,H,T,D) → (B,H,S,D).
 
@@ -456,14 +477,14 @@ def attention(q, k, v, scale=None, force: str | None = None):
         raise ValueError(
             f"unknown attention force {force!r}; use 'xla' or 'flash'"
         )
-    sq, t = q.shape[2], k.shape[2]
-    # measured on v5e (S=1024, D=80): XLA 182us vs flash 295us — the fused
-    # XLA path wins below ~2k tokens; flash wins 1.8-2.4x at 4096 and is the
-    # only option at 16384 (XLA OOMs materializing S×S)
     use_flash = (
         force == "flash"
         if force
-        else (_on_tpu() and sq >= 2048 and sq % 256 == 0 and t % 256 == 0)
+        else (
+            _on_tpu()
+            and _auto_flash(q.shape[0], q.shape[1], q.shape[2], k.shape[2],
+                            q.shape[3])
+        )
     )
     if use_flash:
         scale_val = float(scale) if scale is not None else 1.0 / math.sqrt(q.shape[-1])

@@ -939,7 +939,10 @@ class SDPipeline:
         return jnp.zeros((batch, height // r, width // r, 4), jnp.float32)
 
     def decode(self, latent):
-        return self.vae.decode(latent)
+        """VAE decode with the automatic tiled-OOM fallback (SURVEY §5.3):
+        a full-batch 1024² fp32 decode (~8.6 GB conv activations at batch 4)
+        exceeds v5e HBM; decode_safe retries tiled instead of crashing."""
+        return self.vae.decode_safe(latent)
 
     def encode_image(self, pixels, seed: int = 0):
         return self.vae.encode(pixels, key=jax.random.PRNGKey(seed))

@@ -172,3 +172,28 @@ def test_attention_rejects_unknown_force():
     q = jax.numpy.zeros((1, 2, 8, 16))
     with _pytest.raises(ValueError, match="unknown attention force"):
         attention(q, q, q, force="pallas")
+
+
+def test_auto_flash_crossover_rule():
+    """Dispatcher crossover retuned for SDXL (scratch/attn_crossover.py):
+    flash at s>=2048 (unchanged), and at s=1024 when the grid is large
+    (b*h>=32 — SDXL's 32² stage) or d is lane-misaligned (d%64!=0 —
+    SD1.5's 32² stage at d=80). XLA keeps small aligned-1024 grids and
+    everything at s<=512."""
+    from lightdiffusion_tpu.ops.attention import _auto_flash
+
+    # s >= 2048: always flash (when 256-divisible)
+    assert _auto_flash(2, 8, 4096, 4096, 40)
+    assert _auto_flash(1, 8, 2048, 2048, 64)
+    # s = 1024 large grid (SDXL 32²: b=2 cfg-batch, h=20)
+    assert _auto_flash(2, 20, 1024, 1024, 64)
+    # s = 1024, lane-misaligned d (SD1.5 32²: d=80)
+    assert _auto_flash(2, 8, 1024, 1024, 80)
+    # s = 1024 small grid with MXU-aligned d → XLA
+    assert not _auto_flash(2, 8, 1024, 1024, 64)
+    # s <= 512 → XLA everywhere
+    assert not _auto_flash(8, 20, 512, 512, 80)
+    # non-256-divisible lengths → XLA (flash grids need divisible blocks)
+    assert not _auto_flash(2, 20, 1088, 1088, 64)
+    # cross-attention kv=77 never routes to flash
+    assert not _auto_flash(2, 8, 4096, 77, 40)
