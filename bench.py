@@ -268,29 +268,46 @@ def bench_sdxl():
            jnp.zeros((1, 1280), jnp.float32))
     latent = pipex.empty_latent(1024, 1024, 1)
 
-    def runx(seed):
+    def runx(seed, **skw):
         out = pipex.sample_latent(
             latent, cond, neg, seed=seed, steps=20, cfg=7.0,
-            sampler_name="euler_ancestral", scheduler="karras",
+            sampler_name="euler_ancestral", scheduler="karras", **skw,
         )
         return pipex.decode(out)
 
-    def timed(label, reps=2, groups=2):
-        img = runx(0)  # compile + warm
+    def timed(label, reps=2, groups=2, **skw):
+        img = runx(0, **skw)  # compile + warm
         float(np.asarray(img.ravel()[0]))
         times = []
         for gi in range(groups):
             t0 = time.perf_counter()
             for i in range(reps):
-                img = runx(gi * reps + i + 1)
+                img = runx(gi * reps + i + 1, **skw)
             float(np.asarray(img.ravel()[0]))
             times.append((time.perf_counter() - t0) / reps)
         m = float(np.mean(times))
         log(f"  {label}: {60.0/m:.2f} img/min/chip ({m*1000:.0f} ± "
             f"{float(np.std(times))*1000:.0f} ms/image)")
-        return m, np.asarray(runx(777), np.float32)
+        return m, np.asarray(runx(777, **skw), np.float32)
 
     base, img_base = timed("SDXL base")
+
+    # DeepCache at XL width: the deep half (the depth-10 level-2
+    # transformers + middle) is ~80% of SDXL FLOPs, so interval-2 reuse
+    # is worth far more here than on SD1.5 topology
+    try:
+        dc, img_dc = timed("SDXL DeepCache-2", deepcache_interval=2)
+        s = float(np.asarray(ssim(img_dc, img_base)).min())
+        log(f"  SDXL DeepCache-2: {base/dc:.2f}x speedup, ssim={s:.4f} "
+            f"quality-gate: {'PASS' if s >= 0.90 else 'FLAGGED(<0.90)'}")
+        dc3, img_dc3 = timed("SDXL DeepCache-3", deepcache_interval=3)
+        s3 = float(np.asarray(ssim(img_dc3, img_base)).min())
+        log(f"  SDXL DeepCache-3: {base/dc3:.2f}x speedup, ssim={s3:.4f} "
+            f"quality-gate: {'PASS' if s3 >= 0.90 else 'FLAGGED(<0.90)'}")
+    except Exception as e:
+        log(f"  SDXL DeepCache failed ({type(e).__name__}: {e})")
+        import gc
+        gc.collect()
 
     # batch-4 pipelined throughput (the serving regime). CFG batch 8 fits
     # v5e HBM for the UNet (551 ms/UNet-step measured in

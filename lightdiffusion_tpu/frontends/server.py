@@ -101,8 +101,13 @@ _ALLOWED = {
     "prompt", "negative_prompt", "width", "height", "steps", "cfg", "seed",
     "sampler", "scheduler", "format", "control_image", "control_strength",
     "cfg_cutoff", "hires_fix", "hires_steps", "hires_denoise", "hires_cfg",
-    "adetailer",
+    "adetailer", "deepcache",
 }
+
+# samplers with a fixed-step single-eval scan body (diffusion.samplers
+# .make_stepper) — the forms DeepCache's stateful stepper supports
+_DEEPCACHE_SAMPLERS = {"euler", "ddim", "euler_ancestral", "dpmpp_2m_sde",
+                       "dpmpp_2m"}
 
 _ALLOWED_IMG2IMG = {
     "init_image", "prompt", "negative_prompt", "upscale_by", "steps", "cfg",
@@ -131,7 +136,7 @@ class _Request:
         return ("txt2img", p["width"], p["height"], p["steps"], p["sampler"],
                 p["scheduler"], p["control_image"] is not None,
                 p["cfg_cutoff"], p["hires_fix"], p["hires_steps"],
-                p["hires_denoise"], p["adetailer"])
+                p["hires_denoise"], p["adetailer"], p["deepcache"])
 
 
 class GenerationServer:
@@ -271,6 +276,10 @@ class GenerationServer:
             "hires_denoise": float(params.get("hires_denoise", 0.45)),
             "hires_cfg": float(params.get("hires_cfg", 8.0)),
             "adetailer": bool(params.get("adetailer", False)),
+            # DeepCache interval (0 = off): the biggest measured serving
+            # lever at SDXL width (interval-2 = 1.62x, interval-3 = 2.07x,
+            # SSIM>=0.998 — NOTES_ROUND3)
+            "deepcache": int(params.get("deepcache", 0)),
         }
         if p["adetailer"] and self.detectors is None:
             raise ValueError(
@@ -294,6 +303,18 @@ class GenerationServer:
                              "be <= 1024")
         if p["cfg_cutoff"] is not None and not (0.0 < p["cfg_cutoff"] < 1.0):
             raise ValueError("cfg_cutoff must be in (0, 1)")
+        if p["deepcache"]:
+            if not (2 <= p["deepcache"] <= 10):
+                raise ValueError("deepcache interval must be in [2, 10]")
+            if p["sampler"] not in _DEEPCACHE_SAMPLERS:
+                raise ValueError(
+                    f"deepcache needs a fixed-step sampler "
+                    f"({sorted(_DEEPCACHE_SAMPLERS)})"
+                )
+            if params.get("control_image") is not None:
+                raise ValueError(
+                    "deepcache does not combine with control_image"
+                )
         if params.get("control_image") is not None:
             if self.controlnet is None:
                 raise ValueError(
@@ -475,6 +496,7 @@ class GenerationServer:
                     steps=p0["steps"], cfg=cfg,
                     sampler_name=p0["sampler"], scheduler=p0["scheduler"],
                     control=control, cfg_cutoff=p0["cfg_cutoff"],
+                    deepcache_interval=p0["deepcache"],
                 )
                 if p0["hires_fix"]:
                     # the reference's hires pass: bislerp x2 then
@@ -491,6 +513,7 @@ class GenerationServer:
                         steps=p0["hires_steps"], cfg=hires_cfg,
                         sampler_name="euler_ancestral", scheduler="normal",
                         denoise=p0["hires_denoise"],
+                        deepcache_interval=p0["deepcache"],
                     )
                 # hand the UN-synCED device array to the drainer: the next
                 # batch's programs dispatch while this one transfers

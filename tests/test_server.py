@@ -368,6 +368,30 @@ def test_server_cfg_cutoff_requests(pipe):
         gen.shutdown()
 
 
+def test_server_deepcache_requests(pipe):
+    """Per-request DeepCache joins the compile key and flows through; bad
+    combinations are rejected at submit (400), not at batch time."""
+    gen = GenerationServer(pipe, max_wait_ms=5.0)
+    try:
+        img = gen.submit({"prompt": "a cat", "width": 64, "height": 64,
+                          "steps": 4, "deepcache": 2})
+        assert img.shape == (64, 64, 3)
+        assert np.isfinite(img).all()
+        # deepcache + hires: both passes run the cached program
+        img = gen.submit({"prompt": "a cat", "width": 64, "height": 64,
+                          "steps": 4, "deepcache": 2, "hires_fix": True,
+                          "hires_steps": 2})
+        assert img.shape == (128, 128, 3)
+        assert np.isfinite(img).all()
+        with pytest.raises(ValueError):
+            gen.submit({"prompt": "x", "deepcache": 1})
+        with pytest.raises(ValueError):
+            gen.submit({"prompt": "x", "deepcache": 2,
+                        "sampler": "dpm_adaptive"})
+    finally:
+        gen.shutdown()
+
+
 def test_http_endpoints(pipe):
     httpd = make_server(pipe, port=0, max_wait_ms=5.0)
     port = httpd.server_address[1]
