@@ -13,6 +13,7 @@ pytrees; LoRA/TI merge into them functionally (loader/lora.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from pathlib import Path
 
@@ -251,25 +252,49 @@ def init_random(
     unet_config = unet_config or SD15_UNET
 
     # Structure comes from eval_shape (abstract, instant); leaves are filled
-    # ON DEVICE by one jitted program per model. Per-leaf eager jax.random
-    # would trigger one (remote) compile per unique shape, and host-side
-    # numpy + transfer moves GBs through the relay (~400s measured) — a
-    # single on-device program avoids both.
+    # ON DEVICE. Per-leaf eager jax.random would trigger one (remote)
+    # compile per unique shape, and host-side numpy + transfer moves GBs
+    # through the relay (~400s measured). A single program with one
+    # jax.random.normal PER LEAF is also bad: ~2700 threefry subgraphs make
+    # an HLO the remote compile helper chews on for ~700s (SDXL, measured)
+    # and the closure-captured key value ends up a program constant, so the
+    # persistent cache misses whenever the key differs. Instead: chunk the
+    # leaves, draw ONE flat normal buffer per chunk and slice/scale/reshape
+    # out of it — tiny HLO per chunk, key as a runtime argument, stable
+    # cache keys.
     def materialize(tree, key):
-        def fill(i, s):
-            fan_in = int(np.prod(s.shape[:-1])) or 1
-            k = jax.random.fold_in(key, i)
-            return (
-                jax.random.normal(k, s.shape, jnp.float32) / np.sqrt(fan_in)
-            ).astype(s.dtype)
-
         leaves, treedef = jax.tree_util.tree_flatten(tree)
+        CHUNK = 256
+        out = []
+        for c0 in range(0, len(leaves), CHUNK):
+            chunk = leaves[c0 : c0 + CHUNK]
+            sizes = [int(np.prod(s.shape)) for s in chunk]
+            offsets = np.concatenate([[0], np.cumsum(sizes)])
+            total = int(offsets[-1])
+            shapes = tuple(tuple(s.shape) for s in chunk)
+            dtypes = tuple(jnp.dtype(s.dtype).name for s in chunk)
 
-        @jax.jit
-        def build():
-            return [fill(i, s) for i, s in enumerate(leaves)]
+            @functools.partial(
+                jax.jit, static_argnames=("shapes", "dtypes", "total")
+            )
+            def build_chunk(key, shapes, dtypes, total):
+                flat = jax.random.normal(key, (total,), jnp.float32)
+                outs = []
+                for j, (shp, dt) in enumerate(zip(shapes, dtypes)):
+                    n = int(np.prod(shp)) if shp else 1
+                    fan_in = int(np.prod(shp[:-1])) or 1
+                    piece = jax.lax.dynamic_slice(
+                        flat, (int(offsets[j]),), (n,)
+                    )
+                    outs.append(
+                        (piece / np.sqrt(fan_in)).reshape(shp).astype(dt)
+                    )
+                return outs
 
-        return jax.tree_util.tree_unflatten(treedef, build())
+            out.extend(
+                build_chunk(jax.random.fold_in(key, c0), shapes, dtypes, total)
+            )
+        return jax.tree_util.tree_unflatten(treedef, out)
 
     unet_shapes = jax.eval_shape(
         lambda k: init_unet_params(k, unet_config, dtype=unet_dtype), k1
