@@ -170,6 +170,19 @@ def main():
     except Exception as e:
         log(f"AYS bench failed: {e}")
     try:
+        pipe.set_todo(2)
+        tdo, tdo_std = pipelined(3, batch, **kwargs)
+        log(f"ToDo-2 K/V downsampling (arXiv 2402.13573): "
+            f"{60.0/tdo:.1f} img/min/chip ({tdo*1000:.0f} ± "
+            f"{tdo_std*1000:.0f} ms/image)")
+        if imgs_base is not None:
+            ssim_row("ToDo-2 vs 20-step baseline",
+                     quality_images(**kwargs), imgs_base)
+    except Exception as e:
+        log(f"ToDo bench failed: {e}")
+    finally:
+        pipe.set_todo(0)
+    try:
         pipe.set_tome(0.5)
         tom, tom_std = pipelined(3, batch, **kwargs)
         log(f"ToMe-0.5 (20-step euler_ancestral): {60.0/tom:.1f} img/min/chip "
@@ -348,6 +361,17 @@ def bench_sdxl():
             gc.collect()  # drop traceback-held device buffers before the
             break         # next row so one OOM can't poison the rest
 
+    pipex.set_todo(2, min_tokens=4096)
+    try:
+        tdo, img_todo = timed("SDXL ToDo-2")
+        s = float(np.asarray(ssim(img_todo, img_base)).min())
+        log(f"  SDXL ToDo-2: {base/tdo:.2f}x speedup, ssim={s:.4f}")
+    except Exception as e:
+        log(f"  SDXL ToDo failed ({type(e).__name__}: {e})")
+        import gc
+        gc.collect()
+    finally:
+        pipex.set_todo(0)
     pipex.set_tome(0.5)
     try:
         tom, img_tome = timed("SDXL ToMe-0.5")

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--tome", type=float, default=0.0, metavar="RATIO",
                    help="ToMe self-attention token merging ratio (e.g. 0.5; "
                         "faster at hires sizes, slight quality trade)")
+    t.add_argument("--todo", type=int, default=0, metavar="FACTOR",
+                   help="ToDo K/V token downsampling factor (e.g. 2; arXiv "
+                        "2402.13573 — faster than ToMe at every size, "
+                        "slight quality trade)")
     t.add_argument("--cfg-cutoff", type=float, default=None, metavar="FRAC",
                    help="run CFG only for the first FRAC of steps (e.g. 0.6),"
                         " cond-only after — ~1.2-1.4x, slight quality trade")
@@ -220,6 +224,8 @@ def main(argv=None):
             pipe.quantize_unet()
         if args.tome:
             pipe.set_tome(args.tome)
+        if args.todo:
+            pipe.set_todo(args.todo)
         if args.freeu:
             vals = [float(v) for v in args.freeu.split(",")]
             if len(vals) != 4:

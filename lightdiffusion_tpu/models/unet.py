@@ -50,6 +50,12 @@ class UNetConfig:
     # (0 = off). Opt-in accelerator absent in the reference.
     tome_ratio: float = 0.0
     tome_min_tokens: int = 4096
+    # ToDo (arXiv 2402.13573): spatially avg-pool the self-attention K/V by
+    # this factor at levels with ≥ todo_min_tokens tokens (0 = off; queries
+    # and the output token set stay full-resolution, so there is no
+    # merge/unmerge overhead — the TPU-friendly alternative to ToMe).
+    todo_factor: int = 0
+    todo_min_tokens: int = 4096
     # FreeU (arXiv 2309.11497): (b1, b2, s1, s2) — backbone amplification +
     # skip low-frequency attenuation at the two deepest decoder widths.
     # () = off. Free quality lever absent in the reference.
@@ -156,11 +162,23 @@ def cross_attention_apply(p, x, context, num_heads, policy, force=None):
 
 
 def transformer_block_apply(p, x, context, num_heads, policy, force=None,
-                            tome_hw=None, tome_ratio=0.0):
+                            tome_hw=None, tome_ratio=0.0, todo_factor=0):
     """``tome_hw``/``tome_ratio``: when set, self-attention runs on the
-    ToMe-merged token set and unmerges after (ops/tome.py)."""
+    ToMe-merged token set and unmerges after (ops/tome.py).
+    ``todo_factor``: Token Downsampling (arXiv 2402.13573) — self-attention
+    K/V are spatially avg-pooled by this factor (queries stay full-res, so
+    no unmerge pass exists; takes precedence over ToMe when both are set)."""
     x_norm = L.layer_norm(p["ln1"], x, policy=policy)
-    if tome_ratio > 0.0 and tome_hw is not None:
+    if todo_factor > 1 and tome_hw is not None:
+        h, w = tome_hw
+        b, s, c = x_norm.shape
+        f = todo_factor
+        kv = x_norm.reshape(b, h // f, f, w // f, f, c).mean((2, 4))
+        kv = kv.reshape(b, (h // f) * (w // f), c)
+        x = x + cross_attention_apply(
+            p["attn1"], x_norm, kv, num_heads, policy, force
+        )
+    elif tome_ratio > 0.0 and tome_hw is not None:
         from ..ops.tome import merge_and_unmerge
 
         merged, unmerge = merge_and_unmerge(
@@ -186,12 +204,14 @@ def transformer_block_apply(p, x, context, num_heads, policy, force=None,
 
 
 def spatial_transformer_apply(p, x, context, num_heads, policy, force=None,
-                              tome_ratio=0.0, tome_min_tokens=4096):
+                              tome_ratio=0.0, tome_min_tokens=4096,
+                              todo_factor=0, todo_min_tokens=4096):
     """GN → proj in → (B,HW,C) blocks → proj out → +residual (ref :4165-4262).
     Projections are 1×1 convs (SD1.x) or linears (SD2.x,
     use_linear_in_transformer) — distinguished by the weight rank.
     ``tome_ratio``: ToMe self-attention token merging at levels with
-    ≥ tome_min_tokens tokens (ops/tome.py)."""
+    ≥ tome_min_tokens tokens (ops/tome.py). ``todo_factor``: ToDo K/V
+    downsampling at levels with ≥ todo_min_tokens tokens (arXiv 2402.13573)."""
     b, h, w, c = x.shape
     residual = x
     x = L.group_norm(p["norm"], x, eps=1e-6, policy=policy)
@@ -203,10 +223,21 @@ def spatial_transformer_apply(p, x, context, num_heads, policy, force=None,
     else:
         x = L.conv2d(p["proj_in"], x, policy=policy)
         x = x.reshape(b, h * w, c)
-    tome_hw = (h, w) if (tome_ratio > 0.0 and h * w >= tome_min_tokens) else None
+    todo = (
+        todo_factor
+        if (todo_factor > 1 and h * w >= todo_min_tokens
+            and h % todo_factor == 0 and w % todo_factor == 0)
+        else 0
+    )
+    tome_hw = (
+        (h, w)
+        if ((tome_ratio > 0.0 and h * w >= tome_min_tokens) or todo)
+        else None
+    )
     for blk in p["blocks"]:
         x = transformer_block_apply(blk, x, context, num_heads, policy, force,
-                                    tome_hw=tome_hw, tome_ratio=tome_ratio)
+                                    tome_hw=tome_hw, tome_ratio=tome_ratio,
+                                    todo_factor=todo)
     if linear_proj:
         x = L.linear(p["proj_out"], x, policy)
         x = x.reshape(b, h, w, c)
@@ -280,6 +311,8 @@ def _block_apply(spec: BlockSpec, p, h, emb, context, cfg, policy):
             cfg.attn_force,
             tome_ratio=cfg.tome_ratio,
             tome_min_tokens=cfg.tome_min_tokens,
+            todo_factor=cfg.todo_factor,
+            todo_min_tokens=cfg.todo_min_tokens,
         )
     return h
 
@@ -334,6 +367,8 @@ def apply_unet(
         cfg.attn_force,
         tome_ratio=cfg.tome_ratio,
         tome_min_tokens=cfg.tome_min_tokens,
+        todo_factor=cfg.todo_factor,
+        todo_min_tokens=cfg.todo_min_tokens,
     )
     h = resblock_apply(params["middle"]["res2"], h, emb, policy)
     if control is not None:
@@ -351,6 +386,8 @@ def apply_unet(
                 cfg.attn_force,
                 tome_ratio=cfg.tome_ratio,
                 tome_min_tokens=cfg.tome_min_tokens,
+                todo_factor=cfg.todo_factor,
+                todo_min_tokens=cfg.todo_min_tokens,
             )
         if spec.upsample:
             out_hw = None
@@ -434,6 +471,8 @@ def apply_unet_cached(
             policy, cfg.attn_force,
             tome_ratio=cfg.tome_ratio,
             tome_min_tokens=cfg.tome_min_tokens,
+            todo_factor=cfg.todo_factor,
+            todo_min_tokens=cfg.todo_min_tokens,
         )
         h = resblock_apply(params["middle"]["res2"], h, emb, policy)
         for spec, p in zip(output_plan[:n_do], params["output_blocks"][:n_do]):
@@ -448,6 +487,8 @@ def apply_unet_cached(
                     cfg.attn_force,
                     tome_ratio=cfg.tome_ratio,
                     tome_min_tokens=cfg.tome_min_tokens,
+                    todo_factor=cfg.todo_factor,
+                    todo_min_tokens=cfg.todo_min_tokens,
                 )
             if spec.upsample:
                 h = upsample_apply(p["up"], h, policy)
@@ -469,6 +510,8 @@ def apply_unet_cached(
                 cfg.attn_force,
                 tome_ratio=cfg.tome_ratio,
                 tome_min_tokens=cfg.tome_min_tokens,
+                todo_factor=cfg.todo_factor,
+                todo_min_tokens=cfg.todo_min_tokens,
             )
         if spec.upsample:
             h = upsample_apply(p["up"], h, policy)

@@ -174,6 +174,19 @@ class SDPipeline:
         self._programs.clear()
         return self
 
+    def set_todo(self, factor: int, min_tokens: int = 4096):
+        """Enable/disable ToDo K/V token downsampling (arXiv 2402.13573) for
+        every subsequent program: self-attention keys/values are spatially
+        avg-pooled by ``factor`` at levels with ≥ min_tokens tokens while
+        queries stay full-resolution — no merge/unmerge overhead, so unlike
+        ToMe it wins even at 512² token counts. Opt-in accelerator absent
+        in the reference; takes precedence over ToMe when both are set."""
+        self.sd.unet_config = dataclasses.replace(
+            self.sd.unet_config, todo_factor=factor, todo_min_tokens=min_tokens
+        )
+        self._programs.clear()
+        return self
+
     def set_freeu(self, b1: float | None = 1.5, b2: float = 1.6,
                   s1: float = 0.9, s2: float = 0.2):
         """Enable FreeU (arXiv 2309.11497; defaults = the paper's SD1.5
