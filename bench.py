@@ -178,6 +178,15 @@ def main():
         if imgs_base is not None:
             ssim_row("ToDo-2 vs 20-step baseline",
                      quality_images(**kwargs), imgs_base)
+        # trajectory-preserving stack: both components PASS the SSIM gate
+        dcd, dcd_std = pipelined(3, batch, deepcache_interval=2, **kwargs)
+        log(f"DeepCache-2 + ToDo-2 (both gates PASS): "
+            f"{60.0/dcd:.1f} img/min/chip ({dcd*1000:.0f} ± "
+            f"{dcd_std*1000:.0f} ms/image)")
+        if imgs_base is not None:
+            ssim_row("DeepCache-2+ToDo-2 vs 20-step baseline",
+                     quality_images(deepcache_interval=2, **kwargs),
+                     imgs_base)
     except Exception as e:
         log(f"ToDo bench failed: {e}")
     finally:
@@ -190,11 +199,17 @@ def main():
         if imgs_base is not None:
             ssim_row("ToMe-0.5 vs 20-step baseline",
                      quality_images(**kwargs), imgs_base)
-        # everything-on preset: AYS-10 + ToMe-0.5 + CFG truncation
+    except Exception as e:
+        log(f"ToMe bench failed: {e}")
+    finally:
+        pipe.set_tome(0.0)
+    try:
+        # everything-on preset: AYS-10 + ToDo-2 + CFG truncation
+        pipe.set_todo(2)
         stack_kw = dict(kwargs, scheduler="ays", steps=10,
                         sampler_name="dpmpp_2m_sde", cfg_cutoff=0.7)
         stk, stk_std = pipelined(3, batch, **stack_kw)
-        log(f"stacked opt-ins (AYS-10 + ToMe-0.5 + cfg_cutoff 0.7): "
+        log(f"stacked opt-ins (AYS-10 + ToDo-2 + cfg_cutoff 0.7): "
             f"{60.0/stk:.1f} img/min/chip ({stk*1000:.0f} ± "
             f"{stk_std*1000:.0f} ms/image)")
         if imgs_sde is not None:
@@ -203,7 +218,7 @@ def main():
     except Exception as e:
         log(f"stacked bench failed: {e}")
     finally:
-        pipe.set_tome(0.0)
+        pipe.set_todo(0)
 
     # bf16 cross-shape contract (VERDICT r2 weak #7): the same seed in a
     # batch-4 program (per-sample keys) must perceptually match its solo

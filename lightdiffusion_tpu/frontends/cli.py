@@ -121,6 +121,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-wait-ms", type=float, default=25.0)
     s.add_argument("--int8", action="store_true",
                    help="quantize the UNet to W8A8 (int8 MXU path)")
+    s.add_argument("--todo", type=int, default=0, metavar="FACTOR",
+                   help="serve with ToDo K/V downsampling (pipeline-level "
+                        "accelerator: one compiled program set, ~1.3x at "
+                        "512^2, SSIM 0.998)")
     s.add_argument("--warmup", action="store_true",
                    help="AOT-compile the default shape buckets before "
                         "accepting requests (no first-request compile stall)")
@@ -191,6 +195,8 @@ def main(argv=None):
         )
         if args.int8:
             pipe.quantize_unet()
+        if args.todo:
+            pipe.set_todo(args.todo)
         if args.warmup:
             from ..runtime.warmup import warmup
 

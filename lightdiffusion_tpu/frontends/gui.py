@@ -118,6 +118,7 @@ class GenerationController:
         random_init: bool = False,
         int8: bool = False,
         tome: bool = False,  # ToMe 0.5 (ops/tome.py)
+        todo: bool = False,  # ToDo factor 2 (arXiv 2402.13573)
         freeu: bool = False,  # FreeU paper defaults (models/unet.py)
         deepcache: bool = False,  # DeepCache interval 2 (chunked-capable)
         checkpoint=_KEEP,  # explicit selection; _KEEP = current
@@ -132,8 +133,8 @@ class GenerationController:
             return self._generate_locked(
                 prompt, neg, width, height, cfg, seed, steps, sampler_name,
                 scheduler, hires_fix, adetailer, enhance, preview_cb,
-                progress_cb, random_init, int8, tome, freeu, deepcache,
-                checkpoint, lora,
+                progress_cb, random_init, int8, tome, todo, freeu,
+                deepcache, checkpoint, lora,
             )
         finally:
             self._run_lock.release()
@@ -141,8 +142,9 @@ class GenerationController:
     def _generate_locked(self, prompt, neg, width, height, cfg, seed, steps,
                          sampler_name, scheduler, hires_fix, adetailer,
                          enhance, preview_cb, progress_cb, random_init,
-                         int8=False, tome=False, freeu=False,
-                         deepcache=False, checkpoint=_KEEP, lora=_KEEP):
+                         int8=False, tome=False, todo=False,
+                         freeu=False, deepcache=False, checkpoint=_KEEP,
+                         lora=_KEEP):
         from ..models.taesd import latent_to_rgb_preview
 
         self.interrupt_flag = False  # the reference forgets this (:10794)
@@ -154,6 +156,8 @@ class GenerationController:
         pipe = self.prep(ckpt, lra, random_init=random_init, int8=int8)
         if tome != (pipe.sd.unet_config.tome_ratio > 0):
             pipe.set_tome(0.5 if tome else 0.0)
+        if todo != (pipe.sd.unet_config.todo_factor > 1):
+            pipe.set_todo(2 if todo else 0)
         if freeu != bool(pipe.sd.unet_config.freeu):
             pipe.set_freeu() if freeu else pipe.set_freeu(None)
         if enhance:
@@ -296,6 +300,7 @@ def main():  # pragma: no cover - needs a display
     prev_var = tk.BooleanVar(value=True)
     int8_var = tk.BooleanVar()  # the ref's Stable-Fast accel slot (:10184)
     tome_var = tk.BooleanVar()
+    todo_var = tk.BooleanVar()
     freeu_var = tk.BooleanVar()
     deepcache_var = tk.BooleanVar()
     # int8 is labeled for what it measurably is: ~1x e2e speed at every
@@ -305,6 +310,7 @@ def main():  # pragma: no cover - needs a display
                        ("Prompt enhancer", enh_var), ("Previewer", prev_var),
                        ("Int8 (saves HBM, ~1x speed)", int8_var),
                        ("ToMe (wins at hires/XL sizes)", tome_var),
+                       ("ToDo (1.3x, any size)", todo_var),
                        ("DeepCache accelerator", deepcache_var),
                        ("FreeU quality", freeu_var)]:
         tk.Checkbutton(side, text=label, variable=var).pack(anchor="w")
@@ -351,7 +357,8 @@ def main():  # pragma: no cover - needs a display
         opts = dict(
             hires_fix=hires_var.get(), adetailer=adet_var.get(),
             enhance=enh_var.get(), int8=int8_var.get(),
-            tome=tome_var.get(), freeu=freeu_var.get(),
+            tome=tome_var.get(), todo=todo_var.get(),
+            freeu=freeu_var.get(),
             deepcache=deepcache_var.get(),
         )
         do_preview = prev_var.get()
