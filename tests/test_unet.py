@@ -147,6 +147,35 @@ def test_group_norm_matches_torch():
     )
 
 
+def test_group_norm_nonzero_mean_and_token_layout():
+    """Regression for the lane-friendly GroupNorm (NOTES_ROUND3): the
+    E[x²]−E[x]² single-pass variance must stay torch-exact for inputs with
+    non-trivial means (the cancellation-risk case), and the (B, L, C) token
+    layout must normalize identically to its (B, H, W, C) reshape."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(1)
+    x = (rng.randn(2, 8, 8, 64) * 2.0 + 3.0).astype(np.float32)
+    w = rng.randn(64).astype(np.float32)
+    b = rng.randn(64).astype(np.float32)
+    gn = torch.nn.GroupNorm(16, 64, eps=1e-6)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(w))
+        gn.bias.copy_(torch.from_numpy(b))
+        ref = gn(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    p = {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}
+    out = L.group_norm(p, jnp.asarray(x), num_groups=16, eps=1e-6,
+                       policy=L.FP32)
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref, atol=2e-4, rtol=2e-5
+    )
+    out_tok = L.group_norm(p, jnp.asarray(x.reshape(2, 64, 64)),
+                           num_groups=16, eps=1e-6, policy=L.FP32)
+    np.testing.assert_allclose(
+        np.asarray(out_tok), np.asarray(out).reshape(2, 64, 64),
+        atol=1e-6, rtol=1e-6,
+    )
+
+
 def test_strided_conv_matches_torch_padding():
     torch = pytest.importorskip("torch")
     rng = np.random.RandomState(0)
