@@ -310,7 +310,7 @@ def main():  # pragma: no cover - needs a display
                        ("Prompt enhancer", enh_var), ("Previewer", prev_var),
                        ("Int8 (saves HBM, ~1x speed)", int8_var),
                        ("ToMe (wins at hires/XL sizes)", tome_var),
-                       ("ToDo (1.3x, any size)", todo_var),
+                       ("ToDo (1.3x at 512, 1.7x hires)", todo_var),
                        ("DeepCache accelerator", deepcache_var),
                        ("FreeU quality", freeu_var)]:
         tk.Checkbutton(side, text=label, variable=var).pack(anchor="w")
