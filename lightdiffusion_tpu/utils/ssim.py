@@ -54,4 +54,7 @@ def ssim(
     s = ((2 * mu_ab + c1) * (2 * sab + c2)) / (
         (mu_aa + mu_bb + c1) * (sa + sb + c2)
     )
-    return s.mean(axis=(1, 2, 3))
+    # fp32 cancellation in filt(x*x) - mu² can nudge a window's variance
+    # slightly negative, overshooting SSIM past 1 on near-identical pairs
+    # (printed "1.0001" in bench rows); per-window SSIM is in [-1, 1]
+    return jnp.clip(s, -1.0, 1.0).mean(axis=(1, 2, 3))
