@@ -57,7 +57,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(int8 MXU path, ops/quant.py)")
     t.add_argument("--tome", type=float, default=0.0, metavar="RATIO",
                    help="ToMe self-attention token merging ratio (e.g. 0.5; "
-                        "faster at hires sizes, slight quality trade)")
+                        "deprecated — ToDo is faster at every measured size)")
     t.add_argument("--todo", type=int, default=0, metavar="FACTOR",
                    help="ToDo K/V token downsampling factor (e.g. 2; arXiv "
                         "2402.13573 — faster than ToMe at every size, "

@@ -309,7 +309,7 @@ def main():  # pragma: no cover - needs a display
     for label, var in [("Hires Fix", hires_var), ("Adetailer", adet_var),
                        ("Prompt enhancer", enh_var), ("Previewer", prev_var),
                        ("Int8 (saves HBM, ~1x speed)", int8_var),
-                       ("ToMe (wins at hires/XL sizes)", tome_var),
+                       ("ToMe (deprecated: ToDo is faster)", tome_var),
                        ("ToDo (1.3x at 512, 1.7x hires)", todo_var),
                        ("DeepCache accelerator", deepcache_var),
                        ("FreeU quality", freeu_var)]:
