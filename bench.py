@@ -178,14 +178,24 @@ def main():
         if imgs_base is not None:
             ssim_row("ToDo-2 vs 20-step baseline",
                      quality_images(**kwargs), imgs_base)
-        # trajectory-preserving stack: both components PASS the SSIM gate
-        dcd, dcd_std = pipelined(3, batch, deepcache_interval=2, **kwargs)
-        log(f"DeepCache-2 + ToDo-2 (both gates PASS): "
+        # trajectory-preserving stacks (scratch/stack_tune.py DC x ToDo
+        # grid): recommended = DC-3+ToDo-2; max gated = DC-4+ToDo-4
+        dcd, dcd_std = pipelined(3, batch, deepcache_interval=3, **kwargs)
+        log(f"DeepCache-3 + ToDo-2 (recommended stack): "
             f"{60.0/dcd:.1f} img/min/chip ({dcd*1000:.0f} ± "
             f"{dcd_std*1000:.0f} ms/image)")
         if imgs_base is not None:
-            ssim_row("DeepCache-2+ToDo-2 vs 20-step baseline",
-                     quality_images(deepcache_interval=2, **kwargs),
+            ssim_row("DeepCache-3+ToDo-2 vs 20-step baseline",
+                     quality_images(deepcache_interval=3, **kwargs),
+                     imgs_base)
+        pipe.set_todo(4)
+        dcm, dcm_std = pipelined(3, batch, deepcache_interval=4, **kwargs)
+        log(f"DeepCache-4 + ToDo-4 (max gated stack): "
+            f"{60.0/dcm:.1f} img/min/chip ({dcm*1000:.0f} ± "
+            f"{dcm_std*1000:.0f} ms/image)")
+        if imgs_base is not None:
+            ssim_row("DeepCache-4+ToDo-4 vs 20-step baseline",
+                     quality_images(deepcache_interval=4, **kwargs),
                      imgs_base)
     except Exception as e:
         log(f"ToDo bench failed: {e}")

@@ -81,15 +81,29 @@ def conv2d(
         return conv2d_q8(params, x, stride=stride, padding=padding,
                          compute_dtype=policy.compute_dtype)
     w = params["weight"].astype(policy.compute_dtype)
+    xc = x.astype(policy.compute_dtype)
+    b = params.get("bias")
+
+    from . import conv_pallas as _cp
+
+    if (
+        _cp.pallas_conv_enabled()
+        and jax.default_backend() not in ("cpu", "gpu")
+        and _cp.pallas_conv_viable(xc.shape, w.shape, stride, padding,
+                                   itemsize=xc.dtype.itemsize)
+    ):
+        bb = (b.astype(policy.compute_dtype) if b is not None
+              else jnp.zeros((w.shape[-1],), policy.compute_dtype))
+        return _cp.conv3x3_same(xc, w, bb)
+
     y = jax.lax.conv_general_dilated(
-        x.astype(policy.compute_dtype),
+        xc,
         w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=policy.compute_dtype,
     )
-    b = params.get("bias")
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
