@@ -152,9 +152,14 @@ def pallas_conv_viable(x_shape, w_shape, stride, padding,
     - 64-divisible channels (ESRGAN/TAESD 64-wide bodies) win 1.22x at
       image resolution, where XLA collapses to 18 TF/s — allowed only at
       H*W >= 512^2.
-    - weights must fit VMEM alongside the row blocks (9*cin*cout bytes
-      capped at 10 MB — admits the decoder's fp32 512-wide convs at
-      9.4 MB, measured 1.49x; excludes fp32 640-wide and bf16 1280-wide).
+    - the whole working set must fit the 16 MB VMEM scope. Mosaic's real
+      allocation (buffered row blocks for the three shifted views, the
+      double-buffered output, the fp32 accumulator, resident weights, and
+      kernel stack temporaries) measured 16.4 MB — an OOM — at the SDXL
+      decoder's fp32 1024^2 x 256->256 conv while fp32 256^2 x 512->512
+      passed at ~16 MB, so the estimate below is capped at 14 MB for
+      margin. This keeps every measured-win shape except fp32 512-wide
+      (marginal), and admits the fp32 1024^2 x 128 SDXL decode tail.
     """
     if len(w_shape) != 4 or w_shape[0] != 3 or w_shape[1] != 3:
         return False
@@ -167,7 +172,14 @@ def pallas_conv_viable(x_shape, w_shape, stride, padding,
     cout = w_shape[-1]
     if W < 128:
         return False
-    if 9 * cin * cout * itemsize > 10 * 1024 * 1024:
+    s = itemsize
+    vmem_est = (
+        9 * (W + 2) * cin * s          # row blocks of the 3 shifted views
+        + W * cout * (2 * s + 4)       # double-buffered out + fp32 acc
+        + 9 * cin * cout * s           # resident weights
+        + 2 * W * max(cin, cout) * 4   # kernel stack temporaries
+    )
+    if vmem_est > 14 * 1024 * 1024:
         return False
     if cin % 128 == 0 and cout % 128 == 0:
         return H * W >= 128 * 128

@@ -91,6 +91,15 @@ def test_dispatch_gate():
     assert not pallas_conv_viable(
         x_shape=(1, 256, 256, 640), w_shape=(3, 3, 640, 640),
         stride=1, padding="SAME", itemsize=4)
+    # the measured on-chip VMEM OOM (SDXL fp32 1024^2 decode, scoped
+    # 16.4M > 16M): must stay excluded
+    assert not pallas_conv_viable(
+        x_shape=(1, 1024, 1024, 256), w_shape=(3, 3, 256, 256),
+        stride=1, padding="SAME", itemsize=4)
+    # ...while the fp32 1024^2 x 128 SDXL decode tail stays admitted
+    assert pallas_conv_viable(
+        x_shape=(1, 1024, 1024, 128), w_shape=(3, 3, 128, 128),
+        stride=1, padding="SAME", itemsize=4)
 
 
 def test_conv2d_stays_on_xla_off_tpu():
