@@ -105,3 +105,21 @@ def test_params_ema_unwrap(torch_pair):
     sd = {"params_ema": {k: v.numpy() for k, v in model.state_dict().items()}}
     params, cfg = E.convert_esrgan(sd)
     assert cfg.scale == 4
+
+
+def test_packed_rdb_matches_plain(torch_pair):
+    """The lane-packed dense-block path (TPU default at image resolution)
+    must match the plain conv path: zero-padded weight lanes contribute
+    exact zeros, only fp32 accumulation order differs."""
+    _, params, cfg = torch_pair
+    x = np.random.RandomState(2).rand(1, 16, 16, 3).astype(np.float32)
+    try:
+        E.set_packed_rdb(False)
+        plain = np.asarray(E.esrgan_apply(params, jnp.asarray(x), cfg))
+        E.set_packed_rdb(True)
+        E.esrgan_apply.clear_cache()  # same args -> force a packed retrace
+        packed = np.asarray(E.esrgan_apply(params, jnp.asarray(x), cfg))
+    finally:
+        E.set_packed_rdb(None)
+        E.esrgan_apply.clear_cache()
+    np.testing.assert_allclose(packed, plain, atol=1e-4, rtol=1e-4)
