@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..ops import layers as L
 from ..ops.attention import attention_heads_last
+from ..ops.ffn import geglu_ffn_block
 
 
 @dataclasses.dataclass(frozen=True)
@@ -197,9 +198,7 @@ def transformer_block_apply(p, x, context, num_heads, policy, force=None,
         p["attn2"], L.layer_norm(p["ln2"], x, policy=policy), context,
         num_heads, policy, force,
     )
-    x = x + L.linear(
-        p["ff_out"], L.geglu(p["ff_in"], L.layer_norm(p["ln3"], x, policy=policy), policy), policy
-    )
+    x = geglu_ffn_block(p["ln3"], p["ff_in"], p["ff_out"], x, policy)
     return x
 
 
