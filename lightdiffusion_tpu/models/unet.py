@@ -198,7 +198,8 @@ def transformer_block_apply(p, x, context, num_heads, policy, force=None,
         p["attn2"], L.layer_norm(p["ln2"], x, policy=policy), context,
         num_heads, policy, force,
     )
-    x = geglu_ffn_block(p["ln3"], p["ff_in"], p["ff_out"], x, policy)
+    x = geglu_ffn_block(p["ln3"], p["ff_in"], p["ff_out"], x, policy,
+                        force=force)
     return x
 
 

@@ -242,15 +242,18 @@ def fused_ffn_applicable(B, S, C, inner, itemsize) -> bool:
 
 
 def geglu_ffn_block(p_ln: dict, p_in: dict, p_out: dict, x, policy,
-                    eps: float = 1e-5):
+                    eps: float = 1e-5, force=None):
     """x + GEGLU-FF(LayerNorm(x)) over (B, S, C) tokens, with dispatch:
-    fused Pallas kernel on TPU where the shape divides cleanly into
-    enough row tiles, else the plain LN/linear/geglu/linear composition
-    (also the int8 and CPU path)."""
+    fused Pallas kernel on TPU in the measured winning regime, else the
+    plain LN/linear/geglu/linear composition (also the int8 and CPU
+    path). ``force="xla"`` pins the composition — mesh/multichip programs
+    use it (like attn_force) because Pallas custom calls don't partition
+    under GSPMD."""
     from . import layers as L
 
     if (
         _ENABLED
+        and force != "xla"
         and "weight_q8" not in p_in
         and "weight_q8" not in p_out
         and jax.default_backend() not in ("cpu", "gpu")

@@ -97,6 +97,9 @@ def test_geglu_ffn_block_cpu_falls_back_exactly():
         p_out, L.geglu(p_in, L.layer_norm(p_ln, x, policy=L.FP32), L.FP32),
         L.FP32)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # force="xla" (the mesh/multichip pin, like attn_force) is also exact
+    forced = geglu_ffn_block(p_ln, p_in, p_out, x, L.FP32, force="xla")
+    np.testing.assert_array_equal(np.asarray(forced), np.asarray(ref))
 
 
 def test_set_fused_ffn_toggle():
