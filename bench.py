@@ -399,6 +399,21 @@ def bench_sdxl():
         gc.collect()
     finally:
         pipex.set_todo(0)
+    # the two XL levers stack: DeepCache reuses the deep half, ToDo thins
+    # the 32^2 attention in the shallow half that still runs every step
+    pipex.set_todo(4, min_tokens=1024)
+    try:
+        stk, img_stk = timed("SDXL DC-3+ToDo-4@1024", deepcache_interval=3)
+        s = float(np.asarray(ssim(img_stk, img_base)).min())
+        log(f"  SDXL DC-3+ToDo-4@1024 stack: {base/stk:.2f}x speedup, "
+            f"ssim={s:.4f} quality-gate: "
+            f"{'PASS' if s >= 0.90 else 'FLAGGED(<0.90)'}")
+    except Exception as e:
+        log(f"  SDXL stack failed ({type(e).__name__}: {e})")
+        import gc
+        gc.collect()
+    finally:
+        pipex.set_todo(0)
     pipex.set_tome(0.5)
     try:
         tom, img_tome = timed("SDXL ToMe-0.5")
