@@ -101,7 +101,7 @@ _ALLOWED = {
     "prompt", "negative_prompt", "width", "height", "steps", "cfg", "seed",
     "sampler", "scheduler", "format", "control_image", "control_strength",
     "cfg_cutoff", "hires_fix", "hires_steps", "hires_denoise", "hires_cfg",
-    "adetailer", "deepcache",
+    "adetailer", "deepcache", "uncond_interval",
 }
 
 # samplers with a fixed-step single-eval scan body (diffusion.samplers
@@ -136,7 +136,8 @@ class _Request:
         return ("txt2img", p["width"], p["height"], p["steps"], p["sampler"],
                 p["scheduler"], p["control_image"] is not None,
                 p["cfg_cutoff"], p["hires_fix"], p["hires_steps"],
-                p["hires_denoise"], p["adetailer"], p["deepcache"])
+                p["hires_denoise"], p["adetailer"], p["deepcache"],
+                p["uncond_interval"])
 
 
 class GenerationServer:
@@ -280,6 +281,9 @@ class GenerationServer:
             # lever at SDXL width (interval-2 = 1.62x, interval-3 = 2.07x,
             # SSIM>=0.998 — NOTES_ROUND3)
             "deepcache": int(params.get("deepcache", 0)),
+            # guidance-delta caching (0 = off): the uncond CFG branch runs
+            # every N steps, skip steps are cond-only at half UNet batch
+            "uncond_interval": int(params.get("uncond_interval", 0)),
         }
         if p["adetailer"] and self.detectors is None:
             raise ValueError(
@@ -314,6 +318,22 @@ class GenerationServer:
             if params.get("control_image") is not None:
                 raise ValueError(
                     "deepcache does not combine with control_image"
+                )
+        if p["uncond_interval"]:
+            if p["deepcache"]:
+                raise ValueError(
+                    "deepcache and uncond_interval are mutually exclusive"
+                )
+            if not (2 <= p["uncond_interval"] <= 10):
+                raise ValueError("uncond_interval must be in [2, 10]")
+            if p["sampler"] not in _DEEPCACHE_SAMPLERS:
+                raise ValueError(
+                    f"uncond_interval needs a fixed-step sampler "
+                    f"({sorted(_DEEPCACHE_SAMPLERS)})"
+                )
+            if params.get("control_image") is not None:
+                raise ValueError(
+                    "uncond_interval does not combine with control_image"
                 )
         if params.get("control_image") is not None:
             if self.controlnet is None:
@@ -497,6 +517,7 @@ class GenerationServer:
                     sampler_name=p0["sampler"], scheduler=p0["scheduler"],
                     control=control, cfg_cutoff=p0["cfg_cutoff"],
                     deepcache_interval=p0["deepcache"],
+                    uncond_interval=p0["uncond_interval"],
                 )
                 if p0["hires_fix"]:
                     # the reference's hires pass: bislerp x2 then
@@ -514,6 +535,7 @@ class GenerationServer:
                         sampler_name="euler_ancestral", scheduler="normal",
                         denoise=p0["hires_denoise"],
                         deepcache_interval=p0["deepcache"],
+                        uncond_interval=p0["uncond_interval"],
                     )
                 # hand the UN-synCED device array to the drainer: the next
                 # batch's programs dispatch while this one transfers

@@ -43,6 +43,7 @@ class SampleConfig:
     masked: bool = False
     differential_diffusion: bool = False
     deepcache: int = 0  # >1: refresh deep UNet blocks every N steps
+    uncond_interval: int = 0  # >1: run the uncond CFG branch every N steps
     has_y: bool = False  # SDXL ADM vector conditioning
     uncond_free: bool = False  # cond-only (no CFG): UNet batch B, not 2·B
     control_cfg: object = None  # ControlNet encoder UNetConfig (None = off)
@@ -104,6 +105,75 @@ def _make_deepcache_cfg_denoiser(ms, unet_cfg, policy, unet_params, cond,
         return d_uncond + (d_cond - d_uncond) * scale, cache
 
     return denoise_cached
+
+
+def _make_uncond_skip_cfg_denoiser(ms, unet_cfg, policy, unet_params, cond,
+                                   uncond, cfg_scale, interval,
+                                   y_cond=None, y_uncond=None):
+    """Stateful CFG denoiser with guidance-delta caching:
+    ``(x, sigma, i, delta) -> (denoised, delta)``. The uncond branch runs
+    only when ``i % interval == 0`` (full 2·B CFG batch, storing
+    ``delta = d_cond − d_uncond``); skip steps run the UNet cond-only at
+    batch B and reuse the stored delta via
+    ``denoised = d_cond + (s−1)·delta`` (algebraically identical to CFG
+    when the delta is fresh). The DeepCache temporal-redundancy observation
+    (arXiv 2312.03209) applied to the guidance term itself; opt-in
+    accelerator beyond the reference. Shared by the monolithic and chunked
+    programs so both run the identical trajectory."""
+    from ..diffusion.cfg import common_context_length, pad_context_to
+
+    def denoise(x, sigma, i, delta):
+        b = x.shape[0]
+        target = common_context_length(cond.shape[1], uncond.shape[1])
+        cond_p = pad_context_to(cond, target)
+        uncond_p = pad_context_to(uncond, target)
+        ctx_c = jnp.broadcast_to(
+            cond_p, (b,) + cond_p.shape[1:]
+        ).astype(policy.compute_dtype)
+        ctx_u = jnp.broadcast_to(
+            uncond_p, (b,) + uncond_p.shape[1:]
+        ).astype(policy.compute_dtype)
+        y_c = y_u = None
+        if y_cond is not None:
+            y_c = jnp.broadcast_to(y_cond, (b,) + y_cond.shape[1:])
+            y_u = jnp.broadcast_to(y_uncond, (b,) + y_uncond.shape[1:])
+        sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
+        x_in = ms.calculate_input(sigma_b, x).astype(policy.compute_dtype)
+        t = ms.timestep(sigma_b)
+
+        def full(_):
+            x2 = jnp.concatenate([x_in, x_in], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            ctx2 = jnp.concatenate([ctx_c, ctx_u], axis=0)
+            y2 = (
+                None if y_c is None
+                else jnp.concatenate([y_c, y_u], axis=0)
+            )
+            eps2 = U.apply_unet(unet_params, x2, t2, ctx2, y=y2,
+                                cfg=unet_cfg, policy=policy)
+            den2 = ms.calculate_denoised(
+                jnp.concatenate([sigma_b, sigma_b]),
+                eps2.astype(jnp.float32),
+                jnp.concatenate([x, x], axis=0),
+            )
+            return den2[:b], den2[:b] - den2[b:]
+
+        def skip(_):
+            eps = U.apply_unet(unet_params, x_in, t, ctx_c, y=y_c,
+                               cfg=unet_cfg, policy=policy)
+            d_cond = ms.calculate_denoised(
+                sigma_b, eps.astype(jnp.float32), x
+            )
+            return d_cond, delta
+
+        d_cond, delta_new = jax.lax.cond((i % interval) == 0, full, skip,
+                                         operand=None)
+        scale = jnp.asarray(cfg_scale, jnp.float32)
+        if scale.ndim:  # per-sample guidance, as in cfg.py
+            scale = scale.reshape(scale.shape + (1,) * (x.ndim - scale.ndim))
+        return d_cond + (scale - 1.0) * delta_new, delta_new
+
+    return denoise
 
 
 class SDPipeline:
@@ -274,8 +344,8 @@ class SDPipeline:
         def unet_apply(params, x, t, ctx):
             return U.apply_unet(params, x, t, ctx, cfg=unet_cfg, policy=policy)
 
-        if cfg_key.deepcache > 1:
-            program = self._deepcache_program(cfg_key, sigmas, step_offset)
+        if cfg_key.deepcache > 1 or cfg_key.uncond_interval > 1:
+            program = self._stateful_program(cfg_key, sigmas, step_offset)
             self._cache_program(key, program)
             return program
 
@@ -411,6 +481,7 @@ class SDPipeline:
         start_step: int | None = None,
         last_step: int | None = None,
         deepcache_interval: int = 0,
+        uncond_interval: int = 0,
         noise: jnp.ndarray | None = None,
         cfg_cutoff: float | None = None,
         control=None,  # (cn_params, cn_cfg, hint, strength) — ControlNet
@@ -437,7 +508,20 @@ class SDPipeline:
         (UNet batch B instead of 2·B) — guidance matters most early in the
         trajectory ("Applying Guidance in a Limited Interval", arXiv
         2404.07724); the handoff reuses the exact suffix-noise window
-        machinery (KSamplerAdvanced semantics)."""
+        machinery (KSamplerAdvanced semantics).
+
+        ``uncond_interval`` (opt-in accelerator, e.g. 2): guidance-delta
+        caching — the uncond CFG branch runs every N steps and skip steps
+        are cond-only at half UNet batch, reusing the stored
+        ``d_cond − d_uncond`` delta (the DeepCache temporal-redundancy
+        observation applied to the guidance term). Mutually exclusive with
+        ``deepcache_interval``; silently disabled (like DeepCache) for
+        masked/ControlNet/inpaint-concat runs."""
+        if deepcache_interval > 1 and uncond_interval > 1:
+            raise ValueError(
+                "deepcache_interval and uncond_interval are mutually "
+                "exclusive (both thread their own denoiser state)"
+            )
         if cfg_cutoff is not None and 0.0 < cfg_cutoff < 1.0 and steps >= 2:
             if noise_mask is not None:
                 raise ValueError(
@@ -456,6 +540,7 @@ class SDPipeline:
                 sampler_name=sampler_name, scheduler=scheduler,
                 denoise=denoise, disable_noise=disable_noise,
                 deepcache_interval=deepcache_interval,
+                uncond_interval=uncond_interval,
                 start_step=0, last_step=k, noise=noise, control=control,
                 concat_cond=concat_cond, sampler_options=sampler_options,
             )
@@ -486,6 +571,12 @@ class SDPipeline:
                 deepcache_interval
                 if noise_mask is None and control is None
                 and concat_cond is None
+                else 0
+            ),
+            uncond_interval=(
+                uncond_interval
+                if noise_mask is None and control is None
+                and concat_cond is None and not _uncond_free
                 else 0
             ),
             has_y=y_cond is not None,
@@ -545,11 +636,14 @@ class SDPipeline:
             kwargs["concat_cond"] = jnp.asarray(concat_cond, jnp.float32)
         return program(*args, **kwargs)
 
-    def _deepcache_program(self, cfg_key: SampleConfig, sigmas: np.ndarray,
-                           step_offset: int = 0):
-        """Sampling program with DeepCache deep-block reuse (arXiv 2312.03209,
-        PAPERS.md): the deep UNet half recomputes every ``deepcache`` steps.
-        Opt-in accelerator beyond the reference."""
+    def _stateful_program(self, cfg_key: SampleConfig, sigmas: np.ndarray,
+                          step_offset: int = 0):
+        """Sampling program for the stateful-denoiser accelerators:
+        DeepCache deep-block reuse (arXiv 2312.03209, PAPERS.md — the deep
+        UNet half recomputes every ``deepcache`` steps) or guidance-delta
+        caching (``uncond_interval``: the uncond CFG branch runs every N
+        steps, skip steps are cond-only at half UNet batch). Opt-in
+        accelerators beyond the reference."""
         import math as _math
 
         from ..diffusion.samplers import make_stepper, run_steps
@@ -557,13 +651,13 @@ class SDPipeline:
         ms = self.sd.model_sampling
         unet_cfg = self.sd.unet_config
         policy = self.policy
-        interval = cfg_key.deepcache
+        which = "deepcache" if cfg_key.deepcache > 1 else "uncond_interval"
 
         if make_stepper(
             cfg_key.sampler_name, lambda x, s: x, jax.random.PRNGKey(0)
         ) is None:
             raise ValueError(
-                f"deepcache unsupported for sampler {cfg_key.sampler_name!r} "
+                f"{which} unsupported for sampler {cfg_key.sampler_name!r} "
                 "(needs a fixed-step single-eval form)"
             )
 
@@ -577,29 +671,38 @@ class SDPipeline:
         @jax.jit
         def program(unet_params, noise, latent, cond, uncond, cfg_scale, key,
                     y_cond=None, y_uncond=None):
-            denoise_cached = _make_deepcache_cfg_denoiser(
-                ms, unet_cfg, policy, unet_params, cond, uncond, cfg_scale,
-                interval, y_cond=y_cond, y_uncond=y_uncond,
-            )
+            b = latent.shape[0]
+            if cfg_key.deepcache > 1:
+                denoise_fn = _make_deepcache_cfg_denoiser(
+                    ms, unet_cfg, policy, unet_params, cond, uncond,
+                    cfg_scale, cfg_key.deepcache, y_cond=y_cond,
+                    y_uncond=y_uncond,
+                )
+                state0 = jnp.zeros(
+                    U.deepcache_shape(unet_cfg, latent.shape[1],
+                                      latent.shape[2], 2 * b),
+                    policy.compute_dtype,
+                )
+            else:
+                denoise_fn = _make_uncond_skip_cfg_denoiser(
+                    ms, unet_cfg, policy, unet_params, cond, uncond,
+                    cfg_scale, cfg_key.uncond_interval, y_cond=y_cond,
+                    y_uncond=y_uncond,
+                )
+                state0 = jnp.zeros(latent.shape, jnp.float32)
             x = ms.noise_scaling(
                 jnp.float32(sigmas[0]), noise.astype(jnp.float32),
                 latent.astype(jnp.float32), max_denoise,
             )
-            b = latent.shape[0]
             body = make_stepper(
-                cfg_key.sampler_name, denoise_cached, key, stateful=True,
+                cfg_key.sampler_name, denoise_fn, key, stateful=True,
                 step_offset=step_offset,
                 eta=opts.get("eta", 1.0), s_noise=opts.get("s_noise", 1.0),
-            )
-            cache0 = jnp.zeros(
-                U.deepcache_shape(unet_cfg, latent.shape[1], latent.shape[2],
-                                  2 * b),
-                policy.compute_dtype,
             )
             x, _, _ = run_steps(
                 body, x, (jnp.zeros_like(x), jnp.float32(1.0)),
                 jnp.arange(n), (jnp.asarray(sigmas[:-1]), jnp.asarray(sigmas[1:])),
-                state=cache0,
+                state=state0,
             )
             return ms.inverse_noise_scaling(jnp.float32(sigmas[-1]), x)
 
@@ -642,12 +745,19 @@ class SDPipeline:
                     indices, sig_lo, sig_hi, state=(), mask=None,
                     latent_orig=None, noise0=None, y_cond=None, y_uncond=None):
             base_apply = unet_apply_y if cfg_key.has_y else unet_apply
-            if cfg_key.deepcache > 1:
-                denoise_fn = _make_deepcache_cfg_denoiser(
-                    ms, unet_cfg, policy, unet_params, cond, uncond,
-                    cfg_scale, cfg_key.deepcache, y_cond=y_cond,
-                    y_uncond=y_uncond,
-                )
+            if cfg_key.deepcache > 1 or cfg_key.uncond_interval > 1:
+                if cfg_key.deepcache > 1:
+                    denoise_fn = _make_deepcache_cfg_denoiser(
+                        ms, unet_cfg, policy, unet_params, cond, uncond,
+                        cfg_scale, cfg_key.deepcache, y_cond=y_cond,
+                        y_uncond=y_uncond,
+                    )
+                else:
+                    denoise_fn = _make_uncond_skip_cfg_denoiser(
+                        ms, unet_cfg, policy, unet_params, cond, uncond,
+                        cfg_scale, cfg_key.uncond_interval, y_cond=y_cond,
+                        y_uncond=y_uncond,
+                    )
                 body = make_stepper(
                     cfg_key.sampler_name, denoise_fn, key, eta=eta,
                     s_noise=s_noise, stateful=True, step_offset=step_offset,
@@ -806,6 +916,7 @@ class SDPipeline:
         chunk_size: int = 5,
         on_chunk=None,  # fn(steps_done, total, latent_np) -> False to stop
         deepcache_interval: int = 0,
+        uncond_interval: int = 0,
         cfg_cutoff: float | None = None,
         noise_mask: jnp.ndarray | None = None,
         differential_diffusion: bool = False,
@@ -821,6 +932,8 @@ class SDPipeline:
         frontend reaches the same accelerators and masked flows:
           - ``deepcache_interval`` > 1: DeepCache (cache threads across
             chunks — identical trajectory to the monolithic program)
+          - ``uncond_interval`` > 1: guidance-delta caching (the stored
+            CFG delta threads across chunks the same way)
           - ``cfg_cutoff``: CFG for the first fraction of steps, cond-only
             tail (arXiv 2404.07724); the tail phase re-keys its noise at the
             absolute step (suffix-noise semantics)
@@ -879,8 +992,16 @@ class SDPipeline:
                     "sample_latent)"
                 )
             k = max(1, min(n - 1, round(steps * cfg_cutoff)))
+        if deepcache_interval > 1 and uncond_interval > 1:
+            raise ValueError(
+                "deepcache_interval and uncond_interval are mutually "
+                "exclusive (both thread their own denoiser state)"
+            )
         dc = deepcache_interval if (
             deepcache_interval > 1 and noise_mask is None
+        ) else 0
+        us = uncond_interval if (
+            uncond_interval > 1 and noise_mask is None
         ) else 0
         mask_kwargs = {}
         if noise_mask is not None:
@@ -906,6 +1027,8 @@ class SDPipeline:
                 ),
                 self.policy.compute_dtype,
             )
+        elif us:
+            state = jnp.zeros(latent.shape, jnp.float32)
         done = 0
         while done < n:
             in_tail = k is not None and done >= k
@@ -920,6 +1043,7 @@ class SDPipeline:
                     differential_diffusion and noise_mask is not None
                 ),
                 deepcache=0 if in_tail else dc,
+                uncond_interval=0 if in_tail else us,
                 has_y=y_cond is not None,
                 uncond_free=in_tail,
                 options=opts,
@@ -929,12 +1053,13 @@ class SDPipeline:
             idx = jnp.arange(rel, rel + m)
             lo = jnp.asarray(sigmas[done : done + m])
             hi = jnp.asarray(sigmas[done + 1 : done + m + 1])
+            stateful = cfg_key.deepcache > 1 or cfg_key.uncond_interval > 1
             x, aux, state_out = program(
                 self.sd.unet_params, x, aux, cond, uncond, jnp.float32(cfg),
-                rng, idx, lo, hi, state if cfg_key.deepcache else (),
+                rng, idx, lo, hi, state if stateful else (),
                 **mask_kwargs, **y_kwargs,
             )
-            if cfg_key.deepcache:
+            if stateful:
                 state = state_out
             done += m
             if k is not None and done == k:
@@ -983,6 +1108,7 @@ def txt2img(
     hires_denoise: float = 0.45,
     hires_cfg: float = 8.0,
     deepcache_interval: int = 0,
+    uncond_interval: int = 0,
     cfg_cutoff: float | None = None,
     control=None,  # (cn_params, cn_cfg, hint, strength)
 ) -> np.ndarray:
@@ -995,7 +1121,8 @@ def txt2img(
     latent = pipe.sample_latent(
         latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
         sampler_name=sampler_name, scheduler=scheduler,
-        deepcache_interval=deepcache_interval, cfg_cutoff=cfg_cutoff,
+        deepcache_interval=deepcache_interval,
+        uncond_interval=uncond_interval, cfg_cutoff=cfg_cutoff,
         control=control,
     )
     if hires_fix:
@@ -1003,7 +1130,8 @@ def txt2img(
         latent = pipe.sample_latent(
             latent, positive, negative, seed=seed, steps=hires_steps,
             cfg=hires_cfg, sampler_name="euler_ancestral", scheduler="normal",
-            denoise=hires_denoise,
+            denoise=hires_denoise, deepcache_interval=deepcache_interval,
+            uncond_interval=uncond_interval,
         )
     return np.asarray(pipe.decode(latent))
 

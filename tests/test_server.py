@@ -392,6 +392,31 @@ def test_server_deepcache_requests(pipe):
         gen.shutdown()
 
 
+def test_server_uncond_interval_requests(pipe):
+    """Per-request guidance-delta caching joins the compile key and flows
+    through (base + hires); invalid combos are rejected at submit."""
+    gen = GenerationServer(pipe, max_wait_ms=5.0)
+    try:
+        img = gen.submit({"prompt": "a cat", "width": 64, "height": 64,
+                          "steps": 4, "uncond_interval": 2})
+        assert img.shape == (64, 64, 3)
+        assert np.isfinite(img).all()
+        img = gen.submit({"prompt": "a cat", "width": 64, "height": 64,
+                          "steps": 4, "uncond_interval": 2,
+                          "hires_fix": True, "hires_steps": 2})
+        assert img.shape == (128, 128, 3)
+        assert np.isfinite(img).all()
+        with pytest.raises(ValueError):
+            gen.submit({"prompt": "x", "uncond_interval": 1})
+        with pytest.raises(ValueError):
+            gen.submit({"prompt": "x", "uncond_interval": 2, "deepcache": 2})
+        with pytest.raises(ValueError):
+            gen.submit({"prompt": "x", "uncond_interval": 2,
+                        "sampler": "dpm_adaptive"})
+    finally:
+        gen.shutdown()
+
+
 def test_http_endpoints(pipe):
     httpd = make_server(pipe, port=0, max_wait_ms=5.0)
     port = httpd.server_address[1]
