@@ -73,7 +73,7 @@ def main():
         latent = pipe.empty_latent(kw["width"], kw["height"], batch)
         skw = dict(steps=kw["steps"], cfg=kw["cfg"],
                    sampler_name=kw["sampler_name"], scheduler=kw["scheduler"])
-        for opt in ("deepcache_interval", "cfg_cutoff"):
+        for opt in ("deepcache_interval", "uncond_interval", "cfg_cutoff"):
             if kw.get(opt):
                 skw[opt] = kw[opt]
 
@@ -123,7 +123,7 @@ def main():
         latent = pipe.empty_latent(kw["width"], kw["height"], batch)
         skw = dict(steps=kw["steps"], cfg=kw["cfg"],
                    sampler_name=kw["sampler_name"], scheduler=kw["scheduler"])
-        for opt in ("deepcache_interval", "cfg_cutoff"):
+        for opt in ("deepcache_interval", "uncond_interval", "cfg_cutoff"):
             if kw.get(opt):
                 skw[opt] = kw[opt]
         out = pipe.sample_latent(latent, pos, neg, seed=QSEED, **skw)
@@ -154,6 +154,16 @@ def main():
                      quality_images(deepcache_interval=2, **kwargs), imgs_base)
     except Exception as e:
         log(f"deepcache bench failed: {e}")
+    try:
+        ui, ui_std = pipelined(3, batch, uncond_interval=3, **kwargs)
+        log(f"uncond_interval-3 guidance-delta cache (opt-in): "
+            f"{60.0/ui:.1f} img/min/chip ({ui*1000:.0f} ± "
+            f"{ui_std*1000:.0f} ms/image)")
+        if imgs_base is not None:
+            ssim_row("uncond_interval-3 vs 20-step baseline",
+                     quality_images(uncond_interval=3, **kwargs), imgs_base)
+    except Exception as e:
+        log(f"uncond_interval bench failed: {e}")
     try:
         ays_kw = dict(kwargs, scheduler="ays", steps=10,
                       sampler_name="dpmpp_2m_sde")

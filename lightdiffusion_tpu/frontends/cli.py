@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--deepcache", type=int, default=0, metavar="N",
                    help="refresh deep UNet blocks every N steps (faster, "
                         "slight quality trade; 0 = off)")
+    t.add_argument("--uncond-interval", type=int, default=0, metavar="N",
+                   help="guidance-delta caching: run the uncond CFG branch "
+                        "every N steps, reuse the stored delta between "
+                        "(faster, slight quality trade; 0 = off; mutually "
+                        "exclusive with --deepcache)")
     t.add_argument("--int8", action="store_true",
                    help="quantize the UNet to W8A8 after LoRA merge "
                         "(int8 MXU path, ops/quant.py)")
@@ -291,6 +296,7 @@ def main(argv=None):
             hires_fix=args.hires_fix, hires_steps=args.hires_steps,
             hires_denoise=args.hires_denoise,
             deepcache_interval=args.deepcache,
+            uncond_interval=args.uncond_interval,
             cfg_cutoff=args.cfg_cutoff,
             control=control,
         )

@@ -164,8 +164,17 @@ class VAEEncode:
 
 # ------------------------------------------------------------ image save ----
 def get_save_image_path(filename_prefix: str, output_dir: Path):
-    """Counter-named output paths (ref :6531-6567)."""
+    """Counter-named output paths (ref :6531-6567). The prefix may carry a
+    directory part ("sub/name" or "/tmp/name"): relative subfolders land
+    under the output dir (the reference's ComfyUI-style split), absolute
+    ones replace it."""
+    pfx = Path(filename_prefix)
     output_dir = Path(output_dir)
+    if pfx.is_absolute():
+        output_dir = pfx.parent
+    elif pfx.parent != Path("."):
+        output_dir = output_dir / pfx.parent
+    filename_prefix = pfx.name
     output_dir.mkdir(parents=True, exist_ok=True)
     counter = 0
     for p in output_dir.glob(f"{filename_prefix}_*.png"):

@@ -20,6 +20,14 @@ def test_cli_parser_txt2img():
     assert _parse_loras(args.lora) == [("add_detail", 0.7, 0.7)]
 
 
+def test_cli_parser_uncond_interval():
+    args = build_parser().parse_args(
+        ["txt2img", "a cat", "--uncond-interval", "3"]
+    )
+    assert args.uncond_interval == 3
+    assert build_parser().parse_args(["txt2img", "x"]).uncond_interval == 0
+
+
 def test_cli_parser_pipeline_and_img2img():
     a = build_parser().parse_args(["pipeline", "hello", "--number", "2"])
     assert a.command == "pipeline" and a.number == 2
@@ -58,6 +66,19 @@ def test_save_image_numbering(tmp_path, monkeypatch):
     names = sorted(p.name for p in tmp_path.glob("T_*.png"))
     assert names == ["T_00001.png", "T_00002.png", "T_00003.png"]
     assert len(r1["ui"]["images"]) == 2 and len(r2["ui"]["images"]) == 1
+
+
+def test_save_image_path_prefixes(tmp_path, monkeypatch):
+    """Prefixes carrying a directory: relative subfolders land under the
+    output dir; absolute ones replace it (ref :6531-6567 path split)."""
+    from lightdiffusion_tpu.nodes import SaveImage
+
+    monkeypatch.setenv("LDT_OUTPUT", str(tmp_path / "out"))
+    imgs = np.random.RandomState(0).rand(1, 8, 8, 3).astype(np.float32)
+    SaveImage().save_images(imgs, "sub/T")
+    assert (tmp_path / "out" / "sub" / "T_00001.png").exists()
+    SaveImage().save_images(imgs, str(tmp_path / "abs" / "T"))
+    assert (tmp_path / "abs" / "T_00001.png").exists()
 
 
 def test_nodes_api_roundtrip():
