@@ -357,6 +357,18 @@ def bench_sdxl():
         import gc
         gc.collect()
 
+    # guidance-delta caching at XL width (the quality-leaning alternative
+    # to DeepCache; mutually exclusive with it)
+    try:
+        ui, img_ui = timed("SDXL uncond_interval-3", uncond_interval=3)
+        s = float(np.asarray(ssim(img_ui, img_base)).min())
+        log(f"  SDXL uncond_interval-3: {base/ui:.2f}x speedup, ssim={s:.4f} "
+            f"quality-gate: {'PASS' if s >= 0.90 else 'FLAGGED(<0.90)'}")
+    except Exception as e:
+        log(f"  SDXL uncond_interval failed ({type(e).__name__}: {e})")
+        import gc
+        gc.collect()
+
     # batch-4 pipelined throughput (the serving regime). CFG batch 8 fits
     # v5e HBM for the UNet (551 ms/UNet-step measured in
     # scratch/sdxl_profile.py) but a full-batch 1024² fp32 VAE decode does

@@ -17,6 +17,28 @@ import sys
 import time
 
 
+# --preset name -> (deepcache, todo, uncond_interval). The numbers come
+# from the on-chip DC x ToDo grid and uncond_interval sweep (NOTES_ROUND3);
+# each stack's SSIM is measured per-bench-run, not assumed.
+PRESETS = {
+    "fast": (3, 2, 0),
+    "max": (4, 4, 0),
+    "quality": (0, 0, 2),
+}
+
+
+def apply_preset(args) -> None:
+    """Fill accelerator knobs still at their defaults from the preset.
+    Explicit flags win; deepcache/uncond_interval stay mutually exclusive
+    (whichever ends up set first suppresses the other)."""
+    dc, todo, ui = PRESETS[args.preset]
+    if not args.deepcache and not args.uncond_interval:
+        args.deepcache = args.deepcache or dc
+        args.uncond_interval = args.uncond_interval or ui
+    if not args.todo:
+        args.todo = todo
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="lightdiffusion-tpu")
     p.add_argument("--verbose", action="store_true")
@@ -49,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--hires-denoise", type=float, default=0.45)
     t.add_argument("--adetailer", action="store_true",
                    help="face/person detail passes (needs YOLO/SAM weights)")
+    t.add_argument("--preset", choices=("fast", "max", "quality"),
+                   default=None,
+                   help="measured accelerator stacks (BENCH ledger, "
+                        "SSIM-gated on-chip): fast = DeepCache-3 + ToDo-2 "
+                        "(~1.8x, ssim 0.992); max = DeepCache-4 + ToDo-4 "
+                        "(~2.0x, ssim 0.990); quality = uncond-interval-2 "
+                        "(~1.2x, ssim 0.994). Explicit --deepcache/--todo/"
+                        "--uncond-interval flags override the preset knobs")
     t.add_argument("--deepcache", type=int, default=0, metavar="N",
                    help="refresh deep UNet blocks every N steps (faster, "
                         "slight quality trade; 0 = off)")
@@ -231,6 +261,8 @@ def main(argv=None):
             checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
             clip_skip=args.clip_skip, random_init=args.random_init,
         )
+        if args.preset:
+            apply_preset(args)
         if args.int8:
             pipe.quantize_unet()
         if args.tome:

@@ -121,6 +121,9 @@ class GenerationController:
         todo: bool = False,  # ToDo factor 2 (arXiv 2402.13573)
         freeu: bool = False,  # FreeU paper defaults (models/unet.py)
         deepcache: bool = False,  # DeepCache interval 2 (chunked-capable)
+        guidance_cache: bool = False,  # uncond_interval 2 (quality-leaning
+        # alternative to DeepCache; DeepCache wins if both are checked —
+        # the two are mutually exclusive by construction, pipelines/sd.py)
         checkpoint=_KEEP,  # explicit selection; _KEEP = current
         lora=_KEEP,
     ) -> np.ndarray | None:
@@ -134,7 +137,7 @@ class GenerationController:
                 prompt, neg, width, height, cfg, seed, steps, sampler_name,
                 scheduler, hires_fix, adetailer, enhance, preview_cb,
                 progress_cb, random_init, int8, tome, todo, freeu,
-                deepcache, checkpoint, lora,
+                deepcache, guidance_cache, checkpoint, lora,
             )
         finally:
             self._run_lock.release()
@@ -143,8 +146,8 @@ class GenerationController:
                          sampler_name, scheduler, hires_fix, adetailer,
                          enhance, preview_cb, progress_cb, random_init,
                          int8=False, tome=False, todo=False,
-                         freeu=False, deepcache=False, checkpoint=_KEEP,
-                         lora=_KEEP):
+                         freeu=False, deepcache=False, guidance_cache=False,
+                         checkpoint=_KEEP, lora=_KEEP):
         from ..models.taesd import latent_to_rgb_preview
 
         self.interrupt_flag = False  # the reference forgets this (:10794)
@@ -188,10 +191,11 @@ class GenerationController:
         negative = pipe.encode_text(neg)
         latent = pipe.empty_latent(width, height, 1)
         dc = 2 if deepcache else 0
+        ui = 2 if (guidance_cache and not deepcache) else 0
         latent = pipe.sample_latent_chunked(
             latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
             sampler_name=sampler_name, scheduler=scheduler, chunk_size=5,
-            on_chunk=on_chunk, deepcache_interval=dc,
+            on_chunk=on_chunk, deepcache_interval=dc, uncond_interval=ui,
         )
         if self.interrupt_flag:
             return None
@@ -201,7 +205,7 @@ class GenerationController:
                 latent, positive, negative, seed=seed, steps=10, cfg=8.0,
                 sampler_name="euler_ancestral", scheduler="normal",
                 denoise=0.45, chunk_size=5, on_chunk=on_chunk,
-                deepcache_interval=dc,
+                deepcache_interval=dc, uncond_interval=ui,
             )
         if self.interrupt_flag:
             return None
@@ -303,6 +307,7 @@ def main():  # pragma: no cover - needs a display
     todo_var = tk.BooleanVar()
     freeu_var = tk.BooleanVar()
     deepcache_var = tk.BooleanVar()
+    gcache_var = tk.BooleanVar()
     # int8 is labeled for what it measurably is: ~1x e2e speed at every
     # width tested (512² SD1.5 AND 1024² SDXL — BENCH_r03), but it halves
     # UNet weight HBM; not a speed lever (NOTES_ROUND3)
@@ -312,6 +317,7 @@ def main():  # pragma: no cover - needs a display
                        ("ToMe (deprecated: ToDo is faster)", tome_var),
                        ("ToDo (1.3x at 512, 1.7x hires)", todo_var),
                        ("DeepCache accelerator", deepcache_var),
+                       ("Guidance cache (1.2x, quality-leaning)", gcache_var),
                        ("FreeU quality", freeu_var)]:
         tk.Checkbutton(side, text=label, variable=var).pack(anchor="w")
 
@@ -360,6 +366,7 @@ def main():  # pragma: no cover - needs a display
             tome=tome_var.get(), todo=todo_var.get(),
             freeu=freeu_var.get(),
             deepcache=deepcache_var.get(),
+            guidance_cache=gcache_var.get(),
         )
         do_preview = prev_var.get()
 

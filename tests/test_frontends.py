@@ -28,6 +28,32 @@ def test_cli_parser_uncond_interval():
     assert build_parser().parse_args(["txt2img", "x"]).uncond_interval == 0
 
 
+def test_cli_preset_fills_unset_knobs():
+    """--preset fills accelerator knobs at their defaults; explicit flags
+    win; deepcache/uncond_interval never end up both set."""
+    from lightdiffusion_tpu.frontends.cli import apply_preset
+
+    a = build_parser().parse_args(["txt2img", "x", "--preset", "fast"])
+    apply_preset(a)
+    assert (a.deepcache, a.todo, a.uncond_interval) == (3, 2, 0)
+
+    a = build_parser().parse_args(["txt2img", "x", "--preset", "quality"])
+    apply_preset(a)
+    assert (a.deepcache, a.todo, a.uncond_interval) == (0, 0, 2)
+
+    a = build_parser().parse_args(
+        ["txt2img", "x", "--preset", "max", "--todo", "2"])
+    apply_preset(a)
+    assert (a.deepcache, a.todo, a.uncond_interval) == (4, 2, 0)
+
+    # an explicit --deepcache with the quality preset suppresses the
+    # preset's uncond_interval (mutually exclusive pair)
+    a = build_parser().parse_args(
+        ["txt2img", "x", "--preset", "quality", "--deepcache", "2"])
+    apply_preset(a)
+    assert (a.deepcache, a.uncond_interval) == (2, 0)
+
+
 def test_cli_parser_pipeline_and_img2img():
     a = build_parser().parse_args(["pipeline", "hello", "--number", "2"])
     assert a.command == "pipeline" and a.number == 2
@@ -192,6 +218,46 @@ def test_generation_controller_tome_freeu_toggles():
                  sampler_name="euler_ancestral")
     assert ctl.pipe.sd.unet_config.tome_ratio == 0.0
     assert ctl.pipe.sd.unet_config.freeu == ()
+
+
+def test_generation_controller_guidance_cache_toggle():
+    """The Guidance-cache checkbox forwards uncond_interval=2 to the chunked
+    sampler; DeepCache wins when both are checked (mutually exclusive)."""
+    import jax
+    from tests.test_pipeline import TINY_UNET, TINY_VAE, TINY_CLIP
+    from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
+    from lightdiffusion_tpu.models import unet as U, vae as V, clip as C
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.diffusion.parameterization import make_discrete_sampling
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+    from lightdiffusion_tpu.frontends.gui import GenerationController
+
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    sd = StableDiffusion(
+        unet_params=U.init_unet_params(k[0], TINY_UNET), unet_config=TINY_UNET,
+        clip_params=C.init_clip_params(k[1], TINY_CLIP), clip_config=TINY_CLIP,
+        vae_params=V.init_vae_params(k[2], TINY_VAE), vae_config=TINY_VAE,
+        model_sampling=make_discrete_sampling("eps"),
+    )
+    ctl = GenerationController()
+    ctl.pipe = SDPipeline(sd, policy=L.FP32)
+    ctl.current_checkpoint = "x"
+
+    seen = []
+    orig = ctl.pipe.sample_latent_chunked
+
+    def spy(*a, **kw):
+        seen.append((kw.get("deepcache_interval"), kw.get("uncond_interval")))
+        return orig(*a, **kw)
+
+    ctl.pipe.sample_latent_chunked = spy
+    imgs = ctl.generate("a cat", "", 32, 32, 7.0, steps=4,
+                        sampler_name="euler_ancestral", guidance_cache=True)
+    assert imgs is not None and seen[-1] == (0, 2)
+    ctl.generate("a cat", "", 32, 32, 7.0, steps=4,
+                 sampler_name="euler_ancestral", guidance_cache=True,
+                 deepcache=True)
+    assert seen[-1] == (2, 0)
 
 
 def test_generation_controller_int8_toggle(monkeypatch):
