@@ -33,6 +33,10 @@ class Policy:
     param_dtype: Any = jnp.bfloat16
     compute_dtype: Any = jnp.bfloat16
     norm_dtype: Any = jnp.float32  # statistics accumulate here
+    # "xla" pins convs to the XLA emitter (no Pallas dispatch). Mesh/SPMD
+    # programs must set this: pallas_call does not partition under GSPMD,
+    # like attn_force on UNetConfig (SDPipeline pins both when mesh!=None).
+    conv_force: Any = None
 
     def cast_in(self, x):
         return x.astype(self.compute_dtype)
@@ -88,6 +92,7 @@ def conv2d(
 
     if (
         _cp.pallas_conv_enabled()
+        and policy.conv_force != "xla"
         and jax.default_backend() not in ("cpu", "gpu")
         and _cp.pallas_conv_viable(xc.shape, w.shape, stride, padding,
                                    itemsize=xc.dtype.itemsize)

@@ -197,6 +197,16 @@ class SDPipeline:
         if mesh is not None:
             from ..parallel import mesh as M
 
+            # Pallas custom calls don't partition under GSPMD: SPMD programs
+            # must run the XLA attention/FFN/conv paths. Pin every Pallas
+            # dispatch gate (harmless on the CPU dryrun mesh, where the
+            # backend gate already picks XLA; required on real TPU meshes).
+            sd.unet_config = dataclasses.replace(
+                sd.unet_config, attn_force="xla")
+            self.policy = policy = dataclasses.replace(
+                policy, conv_force="xla")
+            self.vae_policy = vae_policy = dataclasses.replace(
+                vae_policy, conv_force="xla")
             sd.unet_params = M.shard_params(sd.unet_params, mesh)
         if sd.clip_params is None and sd.clip2_params is not None:
             # SDXL refiner: bigG-only tower (loader/checkpoint.py detection)
@@ -581,7 +591,12 @@ class SDPipeline:
             ),
             has_y=y_cond is not None,
             uncond_free=_uncond_free,
-            control_cfg=control[1] if control is not None else None,
+            control_cfg=(
+                # mesh programs pin the XLA attention path (see __init__)
+                dataclasses.replace(control[1], attn_force="xla")
+                if control is not None and self.mesh is not None
+                else control[1] if control is not None else None
+            ),
             has_concat=concat_cond is not None,
             options=tuple(sorted((sampler_options or {}).items())),
         )

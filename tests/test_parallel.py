@@ -74,3 +74,48 @@ def test_train_step_decreases_loss():
                                        jax.random.PRNGKey(42))  # fixed batch
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_mesh_pipeline_pins_xla_kernel_paths():
+    """Pallas custom calls don't partition under GSPMD: a mesh pipeline must
+    pin attention (attn_force), the fused FFN (same flag), and convs
+    (Policy.conv_force) to the XLA paths. The CPU dryrun mesh can't catch a
+    regression here (the backend gate already picks XLA off-TPU), so the
+    pinning itself is the contract under test."""
+    import dataclasses
+
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+
+    sd = _tiny_sd()
+    mesh = M.make_mesh(n_dp=4, n_tp=2)
+    pipe = SDPipeline(sd, policy=L.BF16, mesh=mesh)
+    assert pipe.sd.unet_config.attn_force == "xla"
+    assert pipe.policy.conv_force == "xla"
+    assert pipe.vae_policy.conv_force == "xla"
+    # single-device pipelines stay on auto dispatch (TINY_UNET pins its own
+    # attn_force for CPU tests; conv_force is what the pipeline controls)
+    sd1 = _tiny_sd()
+    pipe1 = SDPipeline(sd1, policy=L.BF16)
+    assert pipe1.policy.conv_force is None
+    assert pipe1.vae_policy.conv_force is None
+
+
+def test_conv_force_xla_skips_pallas(monkeypatch):
+    """conv_force='xla' must short-circuit BEFORE the viability gate (the
+    gate itself is TPU-tuned and assumes it may dispatch)."""
+    from lightdiffusion_tpu.ops import conv_pallas, layers as L
+
+    def _boom(*a, **k):
+        raise AssertionError("pallas gate consulted despite conv_force=xla")
+
+    monkeypatch.setattr(conv_pallas, "pallas_conv_viable", _boom)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    x = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    p = {"weight": jnp.zeros((3, 3, 4, 4), jnp.float32),
+         "bias": jnp.zeros((4,), jnp.float32)}
+    import dataclasses
+
+    pol = dataclasses.replace(L.FP32, conv_force="xla")
+    y = L.conv2d(p, x, policy=pol)
+    assert y.shape == (1, 8, 8, 4)
