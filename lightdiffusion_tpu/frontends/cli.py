@@ -28,14 +28,16 @@ PRESETS = {
 
 
 def apply_preset(args) -> None:
-    """Fill accelerator knobs still at their defaults from the preset.
-    Explicit flags win; deepcache/uncond_interval stay mutually exclusive
-    (whichever ends up set first suppresses the other)."""
+    """Fill accelerator knobs the user didn't pass from the preset.
+    Explicit flags win — including explicit zeros ('--preset fast --todo 0'
+    is DeepCache without ToDo), which is why the argparse defaults are None
+    rather than 0. deepcache/uncond_interval stay mutually exclusive:
+    passing either one explicitly suppresses the preset's other knob."""
     dc, todo, ui = PRESETS[args.preset]
-    if not args.deepcache and not args.uncond_interval:
-        args.deepcache = args.deepcache or dc
-        args.uncond_interval = args.uncond_interval or ui
-    if not args.todo:
+    if args.deepcache is None and args.uncond_interval is None:
+        args.deepcache = dc
+        args.uncond_interval = ui
+    if args.todo is None:
         args.todo = todo
 
 
@@ -79,10 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(~2.0x, ssim 0.990); quality = uncond-interval-2 "
                         "(~1.2x, ssim 0.994). Explicit --deepcache/--todo/"
                         "--uncond-interval flags override the preset knobs")
-    t.add_argument("--deepcache", type=int, default=0, metavar="N",
+    t.add_argument("--deepcache", type=int, default=None, metavar="N",
                    help="refresh deep UNet blocks every N steps (faster, "
                         "slight quality trade; 0 = off)")
-    t.add_argument("--uncond-interval", type=int, default=0, metavar="N",
+    t.add_argument("--uncond-interval", type=int, default=None,
+                   metavar="N",
                    help="guidance-delta caching: run the uncond CFG branch "
                         "every N steps, reuse the stored delta between "
                         "(faster, slight quality trade; 0 = off; mutually "
@@ -93,7 +96,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--tome", type=float, default=0.0, metavar="RATIO",
                    help="ToMe self-attention token merging ratio (e.g. 0.5; "
                         "deprecated — ToDo is faster at every measured size)")
-    t.add_argument("--todo", type=int, default=0, metavar="FACTOR",
+    t.add_argument("--todo", type=int, default=None, metavar="FACTOR",
                    help="ToDo K/V token downsampling factor (e.g. 2; arXiv "
                         "2402.13573 — faster than ToMe at every size, "
                         "slight quality trade)")
@@ -263,6 +266,11 @@ def main(argv=None):
         )
         if args.preset:
             apply_preset(args)
+        # unset (None) accelerator knobs mean off (the defaults are None so
+        # apply_preset can tell "--todo 0" from "not passed")
+        args.deepcache = args.deepcache or 0
+        args.uncond_interval = args.uncond_interval or 0
+        args.todo = args.todo or 0
         if args.int8:
             pipe.quantize_unet()
         if args.tome:

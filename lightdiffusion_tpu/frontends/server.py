@@ -104,10 +104,18 @@ _ALLOWED = {
     "adetailer", "deepcache", "uncond_interval",
 }
 
-# samplers with a fixed-step single-eval scan body (diffusion.samplers
-# .make_stepper) — the forms DeepCache's stateful stepper supports
-_DEEPCACHE_SAMPLERS = {"euler", "ddim", "euler_ancestral", "dpmpp_2m_sde",
-                       "dpmpp_2m"}
+def _fixed_step_sampler(name: str) -> bool:
+    """True when the sampler has a fixed-step single-eval scan body
+    (diffusion.samplers.make_stepper) — the forms the DeepCache /
+    uncond_interval stateful steppers support. Queries the authoritative
+    gate (_stateful_program checks the same thing) rather than keeping a
+    parallel sampler list here."""
+    import jax
+
+    from ..diffusion.samplers import make_stepper
+
+    return make_stepper(name, lambda x, s: x, jax.random.PRNGKey(0)) \
+        is not None
 
 _ALLOWED_IMG2IMG = {
     "init_image", "prompt", "negative_prompt", "upscale_by", "steps", "cfg",
@@ -133,11 +141,17 @@ class _Request:
             # per-request canvases (arbitrary sizes, long sequential tile
             # loops) never co-batch — unique key per request
             return ("img2img", id(self))
+        # hires knobs only shape the compiled program when hires_fix is on;
+        # collapse them otherwise so requests that populate unused fields
+        # still co-batch
+        hires = (
+            (True, p["hires_steps"], p["hires_denoise"])
+            if p["hires_fix"] else (False, 0, 0.0)
+        )
         return ("txt2img", p["width"], p["height"], p["steps"], p["sampler"],
                 p["scheduler"], p["control_image"] is not None,
-                p["cfg_cutoff"], p["hires_fix"], p["hires_steps"],
-                p["hires_denoise"], p["adetailer"], p["deepcache"],
-                p["uncond_interval"])
+                p["cfg_cutoff"]) + hires + (
+                p["adetailer"], p["deepcache"], p["uncond_interval"])
 
 
 class GenerationServer:
@@ -310,10 +324,10 @@ class GenerationServer:
         if p["deepcache"]:
             if not (2 <= p["deepcache"] <= 10):
                 raise ValueError("deepcache interval must be in [2, 10]")
-            if p["sampler"] not in _DEEPCACHE_SAMPLERS:
+            if not _fixed_step_sampler(p["sampler"]):
                 raise ValueError(
-                    f"deepcache needs a fixed-step sampler "
-                    f"({sorted(_DEEPCACHE_SAMPLERS)})"
+                    f"deepcache needs a fixed-step sampler, "
+                    f"not {p['sampler']!r}"
                 )
             if params.get("control_image") is not None:
                 raise ValueError(
@@ -326,10 +340,10 @@ class GenerationServer:
                 )
             if not (2 <= p["uncond_interval"] <= 10):
                 raise ValueError("uncond_interval must be in [2, 10]")
-            if p["sampler"] not in _DEEPCACHE_SAMPLERS:
+            if not _fixed_step_sampler(p["sampler"]):
                 raise ValueError(
-                    f"uncond_interval needs a fixed-step sampler "
-                    f"({sorted(_DEEPCACHE_SAMPLERS)})"
+                    f"uncond_interval needs a fixed-step sampler, "
+                    f"not {p['sampler']!r}"
                 )
             if params.get("control_image") is not None:
                 raise ValueError(
@@ -390,6 +404,17 @@ class GenerationServer:
         }
         if not (1.0 <= p["upscale_by"] <= 4.0):
             raise ValueError("upscale_by out of range [1, 4]")
+        # cap the UPSCALED canvas, not just the init image: a 4096² init at
+        # ×4 would be a 16384² float canvas (~3 GB) and ~1000 sequential
+        # tile programs — one request monopolizing the single worker for
+        # hours. 4096² output ≈ the reference GUI's practical USDU ceiling.
+        out_px = (p["init_image"].shape[1] * p["upscale_by"]
+                  * p["init_image"].shape[2] * p["upscale_by"])
+        if out_px > MAX_IMAGE_PIXELS:
+            raise ValueError(
+                f"upscaled canvas would be {int(out_px)} pixels "
+                f"(> {MAX_IMAGE_PIXELS}); lower upscale_by or the init size"
+            )
         if not (1 <= p["steps"] <= 200):
             raise ValueError("steps out of range [1, 200]")
         if not (0.0 < p["denoise"] <= 1.0):

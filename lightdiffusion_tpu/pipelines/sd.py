@@ -53,6 +53,35 @@ class SampleConfig:
     options: tuple = ()
 
 
+def _cfg_denoiser_prologue(ms, policy, cond, uncond, y_cond, y_uncond,
+                           x, sigma):
+    """Shared per-step prep for the stateful CFG denoiser factories below:
+    lcm context padding + batch broadcast (cfg.py semantics), optional SDXL
+    ADM vectors, and the parameterization's input/timestep transforms.
+    Returns ``(ctx_c, ctx_u, y_c, y_u, sigma_b, x_in, t)``; ``x_in`` is
+    fp32 — callers cast to the compute dtype at the UNet boundary."""
+    from ..diffusion.cfg import common_context_length, pad_context_to
+
+    b = x.shape[0]
+    target = common_context_length(cond.shape[1], uncond.shape[1])
+    cond_p = pad_context_to(cond, target)
+    uncond_p = pad_context_to(uncond, target)
+    ctx_c = jnp.broadcast_to(
+        cond_p, (b,) + cond_p.shape[1:]
+    ).astype(policy.compute_dtype)
+    ctx_u = jnp.broadcast_to(
+        uncond_p, (b,) + uncond_p.shape[1:]
+    ).astype(policy.compute_dtype)
+    y_c = y_u = None
+    if y_cond is not None:
+        y_c = jnp.broadcast_to(y_cond, (b,) + y_cond.shape[1:])
+        y_u = jnp.broadcast_to(y_uncond, (b,) + y_uncond.shape[1:])
+    sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
+    x_in = ms.calculate_input(sigma_b, x)
+    t = ms.timestep(sigma_b)
+    return ctx_c, ctx_u, y_c, y_u, sigma_b, x_in, t
+
+
 def _make_deepcache_cfg_denoiser(ms, unet_cfg, policy, unet_params, cond,
                                  uncond, cfg_scale, interval,
                                  y_cond=None, y_uncond=None):
@@ -60,32 +89,13 @@ def _make_deepcache_cfg_denoiser(ms, unet_cfg, policy, unet_params, cond,
     2312.03209): ``(x, sigma, i, cache) -> (denoised, cache)``; the deep UNet
     half refreshes when ``i % interval == 0``. Shared by the monolithic and
     chunked DeepCache programs so both run the identical trajectory."""
-    from ..diffusion.cfg import common_context_length, pad_context_to
 
     def denoise_cached(x, sigma, i, cache):
         b = x.shape[0]
-        target = common_context_length(cond.shape[1], uncond.shape[1])
-        cond_p = pad_context_to(cond, target)
-        uncond_p = pad_context_to(uncond, target)
-        context = jnp.concatenate(
-            [
-                jnp.broadcast_to(cond_p, (b,) + cond_p.shape[1:]),
-                jnp.broadcast_to(uncond_p, (b,) + uncond_p.shape[1:]),
-            ],
-            axis=0,
-        ).astype(policy.compute_dtype)
-        y2 = None
-        if y_cond is not None:
-            y2 = jnp.concatenate(
-                [
-                    jnp.broadcast_to(y_cond, (b,) + y_cond.shape[1:]),
-                    jnp.broadcast_to(y_uncond, (b,) + y_uncond.shape[1:]),
-                ],
-                axis=0,
-            )
-        sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
-        x_in = ms.calculate_input(sigma_b, x)
-        t = ms.timestep(sigma_b)
+        ctx_c, ctx_u, y_c, y_u, sigma_b, x_in, t = _cfg_denoiser_prologue(
+            ms, policy, cond, uncond, y_cond, y_uncond, x, sigma)
+        context = jnp.concatenate([ctx_c, ctx_u], axis=0)
+        y2 = None if y_c is None else jnp.concatenate([y_c, y_u], axis=0)
         x2 = jnp.concatenate([x_in, x_in], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
         refresh = (i % interval) == 0
@@ -120,26 +130,12 @@ def _make_uncond_skip_cfg_denoiser(ms, unet_cfg, policy, unet_params, cond,
     (arXiv 2312.03209) applied to the guidance term itself; opt-in
     accelerator beyond the reference. Shared by the monolithic and chunked
     programs so both run the identical trajectory."""
-    from ..diffusion.cfg import common_context_length, pad_context_to
 
     def denoise(x, sigma, i, delta):
         b = x.shape[0]
-        target = common_context_length(cond.shape[1], uncond.shape[1])
-        cond_p = pad_context_to(cond, target)
-        uncond_p = pad_context_to(uncond, target)
-        ctx_c = jnp.broadcast_to(
-            cond_p, (b,) + cond_p.shape[1:]
-        ).astype(policy.compute_dtype)
-        ctx_u = jnp.broadcast_to(
-            uncond_p, (b,) + uncond_p.shape[1:]
-        ).astype(policy.compute_dtype)
-        y_c = y_u = None
-        if y_cond is not None:
-            y_c = jnp.broadcast_to(y_cond, (b,) + y_cond.shape[1:])
-            y_u = jnp.broadcast_to(y_uncond, (b,) + y_uncond.shape[1:])
-        sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
-        x_in = ms.calculate_input(sigma_b, x).astype(policy.compute_dtype)
-        t = ms.timestep(sigma_b)
+        ctx_c, ctx_u, y_c, y_u, sigma_b, x_in, t = _cfg_denoiser_prologue(
+            ms, policy, cond, uncond, y_cond, y_uncond, x, sigma)
+        x_in = x_in.astype(policy.compute_dtype)
 
         def full(_):
             x2 = jnp.concatenate([x_in, x_in], axis=0)

@@ -25,7 +25,9 @@ def test_cli_parser_uncond_interval():
         ["txt2img", "a cat", "--uncond-interval", "3"]
     )
     assert args.uncond_interval == 3
-    assert build_parser().parse_args(["txt2img", "x"]).uncond_interval == 0
+    # unset is None (not 0) so apply_preset can tell "--x 0" from "absent";
+    # main() coerces None -> 0 after preset application
+    assert build_parser().parse_args(["txt2img", "x"]).uncond_interval is None
 
 
 def test_cli_preset_fills_unset_knobs():
@@ -51,7 +53,19 @@ def test_cli_preset_fills_unset_knobs():
     a = build_parser().parse_args(
         ["txt2img", "x", "--preset", "quality", "--deepcache", "2"])
     apply_preset(a)
-    assert (a.deepcache, a.uncond_interval) == (2, 0)
+    assert (a.deepcache, a.uncond_interval or 0) == (2, 0)
+
+    # an explicit ZERO is an override too: '--preset fast --todo 0' means
+    # DeepCache without ToDo, and '--preset quality --uncond-interval 0'
+    # disables the preset entirely
+    a = build_parser().parse_args(
+        ["txt2img", "x", "--preset", "fast", "--todo", "0"])
+    apply_preset(a)
+    assert (a.deepcache, a.todo) == (3, 0)
+    a = build_parser().parse_args(
+        ["txt2img", "x", "--preset", "quality", "--uncond-interval", "0"])
+    apply_preset(a)
+    assert (a.deepcache or 0, a.todo, a.uncond_interval) == (0, 0, 0)
 
 
 def test_cli_parser_pipeline_and_img2img():

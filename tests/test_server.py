@@ -635,3 +635,66 @@ def test_server_batched_adetailer_per_request_seed(pipe):
             np.testing.assert_allclose(results[i], ref, atol=1e-5)
     finally:
         solo.shutdown()
+
+
+def test_group_key_collapses_unused_hires_knobs(pipe):
+    """Requests differing only in hires params co-batch when hires_fix is
+    off (the knobs don't shape the compiled program then)."""
+    from lightdiffusion_tpu.frontends.server import GenerationServer, _Request
+
+    gen = GenerationServer(pipe)
+    try:
+        base = {"prompt": "x", "width": 64, "height": 64, "steps": 4}
+        a = _Request(gen._normalize(dict(base, hires_steps=10)))
+        b = _Request(gen._normalize(dict(base, hires_steps=20,
+                                         hires_denoise=0.7)))
+        assert a.group_key() == b.group_key()
+        # ... but they split once hires_fix actually uses them
+        c = _Request(gen._normalize(dict(base, hires_fix=True,
+                                         hires_steps=10)))
+        d = _Request(gen._normalize(dict(base, hires_fix=True,
+                                         hires_steps=20)))
+        assert c.group_key() != d.group_key()
+    finally:
+        gen.shutdown()
+
+
+def test_img2img_upscaled_canvas_cap(pipe):
+    """The cap applies to the UPSCALED canvas: a legal init image times a
+    legal upscale_by can still be rejected (16k^2 float canvases + ~1000
+    sequential tile programs would monopolize the worker)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    gen = GenerationServer(pipe)
+    try:
+        src = np.zeros((2304, 2304, 3), np.uint8)  # < 4096^2 pixels: legal
+        buf = io.BytesIO()
+        Image.fromarray(src).save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        with pytest.raises(ValueError, match="upscaled canvas"):
+            gen._normalize_img2img({"init_image": b64, "upscale_by": 2.0})
+        # at x1 the same init is fine
+        p = gen._normalize_img2img({"init_image": b64, "upscale_by": 1.0})
+        assert p["init_image"].shape == (1, 2304, 2304, 3)
+    finally:
+        gen.shutdown()
+
+
+def test_fixed_step_sampler_queries_make_stepper():
+    """The server's fixed-step sampler gate must agree with the
+    authoritative make_stepper support set (no parallel hardcoded list)."""
+    import jax
+
+    from lightdiffusion_tpu.diffusion.samplers import make_stepper
+    from lightdiffusion_tpu.frontends.server import _fixed_step_sampler
+
+    for name in ("euler", "ddim", "euler_ancestral", "dpmpp_2m",
+                 "dpmpp_2m_sde", "dpm_adaptive", "heun", "dpmpp_2s_ancestral"):
+        expected = make_stepper(
+            name, lambda x, s: x, jax.random.PRNGKey(0)) is not None
+        assert _fixed_step_sampler(name) == expected, name
+    assert _fixed_step_sampler("euler")
+    assert not _fixed_step_sampler("dpm_adaptive")
