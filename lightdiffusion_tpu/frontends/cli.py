@@ -56,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--random-init", action="store_true",
                         help="random weights (smoke runs without checkpoints)")
         sp.add_argument("--output-prefix", default="LD")
+        sp.add_argument("--dp", type=int, default=1, metavar="N",
+                        help="data-parallel mesh size: shard batches over N "
+                             "device groups (SPMD over a jax Mesh; needs "
+                             "dp*tp <= len(jax.devices()))")
+        sp.add_argument("--tp", type=int, default=1, metavar="N",
+                        help="tensor-parallel mesh size: Megatron-shard the "
+                             "UNet's attention/MLP over N devices per dp "
+                             "group (halves per-device UNet HBM at tp=2)")
 
     t = sub.add_parser("txt2img", help="text → image")
     common(t)
@@ -184,6 +192,28 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _mesh_from_args(args):
+    """None for the 1x1 default; otherwise a ("dp","tp") Mesh over the
+    first dp*tp devices (parallel/mesh.py). The SPMD path pins the XLA
+    kernel routes (SDPipeline does that); programs and ICI collectives are
+    inserted by GSPMD — no frontend code is parallelism-aware."""
+    dp = getattr(args, "dp", 1) or 1
+    tp = getattr(args, "tp", 1) or 1
+    if dp * tp == 1:
+        return None
+    import jax
+
+    from ..parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    if dp * tp > n:
+        raise SystemExit(
+            f"--dp {dp} --tp {tp} needs {dp * tp} devices, "
+            f"found {n}"
+        )
+    return make_mesh(n_dp=dp, n_tp=tp)
+
+
 def _parse_loras(items):
     out = []
     for it in items:
@@ -220,6 +250,7 @@ def main(argv=None):
         pipe = load_default_pipeline(
             checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
             clip_skip=args.clip_skip, random_init=args.random_init,
+            mesh=_mesh_from_args(args),
         )
         warmup(pipe, batch=args.batch)
         print(f"warmup done in {time.time()-t0:.1f}s", file=sys.stderr)
@@ -230,6 +261,7 @@ def main(argv=None):
         pipe = load_default_pipeline(
             checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
             clip_skip=args.clip_skip, random_init=args.random_init,
+            mesh=_mesh_from_args(args),
         )
         if args.int8:
             pipe.quantize_unet()
@@ -254,15 +286,22 @@ def main(argv=None):
               controlnet=cn, detectors=detectors)
         return
     if args.command == "pipeline":
+        mesh = _mesh_from_args(args)
         pipeline(
             args.prompt, args.width, args.height, args.number,
             enhance=not args.no_enhance, random_init=args.random_init,
             seed=args.seed,
+            pipe=None if mesh is None else load_default_pipeline(
+                checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
+                clip_skip=args.clip_skip, random_init=args.random_init,
+                mesh=mesh,
+            ),
         )
     elif args.command == "txt2img":
         pipe = load_default_pipeline(
             checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
             clip_skip=args.clip_skip, random_init=args.random_init,
+            mesh=_mesh_from_args(args),
         )
         if args.preset:
             apply_preset(args)
@@ -353,6 +392,7 @@ def main(argv=None):
         pipe = load_default_pipeline(
             checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
             clip_skip=args.clip_skip, random_init=args.random_init,
+            mesh=_mesh_from_args(args),
         )
         img = np.asarray(Image.open(args.image).convert("RGB"), np.float32) / 255.0
         out = ultimate_sd_upscale(

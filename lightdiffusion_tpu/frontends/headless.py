@@ -32,11 +32,14 @@ def load_default_pipeline(
     loras: list[tuple[str, float, float]] | None = None,
     clip_skip: int = -2,
     random_init: bool = False,
+    mesh=None,
 ) -> SDPipeline:
     """Load the first available checkpoint (+ add_detail LoRA if present,
-    ref :10021-10031); ``random_init`` enables weightless smoke runs."""
+    ref :10021-10031); ``random_init`` enables weightless smoke runs.
+    ``mesh``: optional jax.sharding.Mesh("dp","tp") — the pipeline runs
+    SPMD (TP-sharded UNet, dp-sharded batches; parallel/mesh.py)."""
     if random_init:
-        return SDPipeline(CKPT.init_random(), clip_skip=clip_skip)
+        return SDPipeline(CKPT.init_random(), clip_skip=clip_skip, mesh=mesh)
     names = assets.list_files("checkpoints")
     if checkpoint is None:
         if not names:
@@ -64,7 +67,7 @@ def load_default_pipeline(
         from ..loader.native_cache import load_checkpoint_cached
 
         sd = load_checkpoint_cached(path)
-    return SDPipeline(sd, clip_skip=clip_skip)
+    return SDPipeline(sd, clip_skip=clip_skip, mesh=mesh)
 
 
 def pipeline(

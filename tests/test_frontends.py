@@ -442,3 +442,24 @@ def test_generation_controller_checkpoint_switch(tmp_path, monkeypatch):
     p2 = ctl.prep("B", "None")
     assert p2.tag == "B" and p2 is not p1
     assert [c[0] for c in calls] == ["A", "B"]
+
+
+def test_cli_mesh_flags():
+    """--dp/--tp build a ("dp","tp") Mesh over the first dp*tp devices;
+    the 1x1 default means no mesh (single-device programs), and asking for
+    more devices than exist is a clean SystemExit, not a jax traceback."""
+    import pytest
+
+    from lightdiffusion_tpu.frontends.cli import _mesh_from_args, build_parser
+
+    a = build_parser().parse_args(["txt2img", "x"])
+    assert (a.dp, a.tp) == (1, 1)
+    assert _mesh_from_args(a) is None
+
+    a = build_parser().parse_args(["serve", "--dp", "4", "--tp", "2"])
+    mesh = _mesh_from_args(a)
+    assert dict(mesh.shape) == {"dp": 4, "tp": 2}
+
+    a = build_parser().parse_args(["txt2img", "x", "--dp", "64"])
+    with pytest.raises(SystemExit):
+        _mesh_from_args(a)

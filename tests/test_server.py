@@ -15,8 +15,7 @@ import pytest
 from lightdiffusion_tpu.frontends.server import GenerationServer, make_server
 
 
-@pytest.fixture(scope="module")
-def pipe():
+def _make_tiny_sd():
     from lightdiffusion_tpu.diffusion.parameterization import (
         make_discrete_sampling,
     )
@@ -24,8 +23,6 @@ def pipe():
     from lightdiffusion_tpu.models import clip as C
     from lightdiffusion_tpu.models import unet as U
     from lightdiffusion_tpu.models import vae as V
-    from lightdiffusion_tpu.ops import layers as L
-    from lightdiffusion_tpu.pipelines.sd import SDPipeline
 
     ucfg = U.UNetConfig(
         model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
@@ -36,13 +33,20 @@ def pipe():
                         intermediate_size=128)
     vcfg = V.VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1)
     k = jax.random.split(jax.random.PRNGKey(0), 3)
-    sd = StableDiffusion(
+    return StableDiffusion(
         unet_params=U.init_unet_params(k[0], ucfg), unet_config=ucfg,
         clip_params=C.init_clip_params(k[1], ccfg), clip_config=ccfg,
         vae_params=V.init_vae_params(k[2], vcfg), vae_config=vcfg,
         model_sampling=make_discrete_sampling("eps"),
     )
-    return SDPipeline(sd, policy=L.FP32, clip_skip=-2)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+
+    return SDPipeline(_make_tiny_sd(), policy=L.FP32, clip_skip=-2)
 
 
 def test_generation_server_batches_compatible_requests(pipe):
@@ -698,3 +702,59 @@ def test_fixed_step_sampler_queries_make_stepper():
         assert _fixed_step_sampler(name) == expected, name
     assert _fixed_step_sampler("euler")
     assert not _fixed_step_sampler("dpm_adaptive")
+
+
+def test_server_over_mesh_pipeline_matches_single_device(pipe):
+    """The serving frontend is parallelism-agnostic: a GenerationServer over
+    an SPMD SDPipeline (dp4 x tp2 mesh, CLI `serve --dp 4 --tp 2`) produces
+    the same images as the single-device server, for both a dp-divisible
+    co-batched group (4 requests) and a non-divisible one (3 requests,
+    which falls back to replicated batch placement). The reference has no
+    serving or distributed layer at all (SURVEY §2.14/§5.8)."""
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.parallel import mesh as M
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+
+    mesh_pipe = SDPipeline(
+        _make_tiny_sd(), policy=L.FP32, clip_skip=-2,
+        mesh=M.make_mesh(n_dp=4, n_tp=2),
+    )
+
+    def run_group(gen, n):
+        results = {}
+
+        def fire(i):
+            results[i] = gen.submit({
+                "prompt": "a cat", "width": 64, "height": 64, "steps": 2,
+                "seed": i,
+            })
+
+        threads = [threading.Thread(target=fire, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert len(results) == n
+        return results
+
+    solo = GenerationServer(pipe, max_batch=4, max_wait_ms=300.0)
+    try:
+        ref4 = run_group(solo, 4)
+        ref3 = run_group(solo, 3)
+    finally:
+        solo.shutdown()
+
+    meshed = GenerationServer(mesh_pipe, max_batch=4, max_wait_ms=300.0)
+    try:
+        out4 = run_group(meshed, 4)
+        out3 = run_group(meshed, 3)
+        st = meshed.stats()
+        assert st["batches"] < st["requests"]  # co-batching still happens
+    finally:
+        meshed.shutdown()
+
+    for i in range(4):
+        np.testing.assert_allclose(out4[i], ref4[i], atol=1e-4, rtol=1e-4)
+    for i in range(3):
+        np.testing.assert_allclose(out3[i], ref3[i], atol=1e-4, rtol=1e-4)
