@@ -337,3 +337,43 @@ def test_chunked_adaptive_forwards_sampler_options(pipe):
         latent, pos, neg, seed=3, steps=6, sampler_name="dpm_adaptive",
     )
     assert np.abs(np.asarray(full) - np.asarray(ode)).max() > 1e-6
+
+
+def test_chunked_adaptive_custom_noise_sampler(pipe):
+    """A custom ``noise_sampler`` callable (ref signature :1118-1140) flows
+    through BOTH the monolithic and segmented dpm_adaptive paths — the
+    callable is hashable by identity, so it keys the program cache like any
+    other option — and the two trajectories match. Also: a different
+    sampler callable produces a different image (it isn't ignored)."""
+    import jax
+    import jax.numpy as jnp
+
+    latent = pipe.empty_latent(32, 32)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+
+    def ns(sigma_from, sigma_to, shape, dtype):
+        k = jax.random.fold_in(jax.random.PRNGKey(123),
+                               (sigma_from * 1e4).astype(jnp.int32))
+        return jax.random.normal(k, shape, dtype)
+
+    opts = {"eta": 1.0, "s_noise": 0.9, "noise_sampler": ns}
+    full = pipe.sample_latent(
+        latent, pos, neg, seed=3, steps=6, sampler_name="dpm_adaptive",
+        sampler_options=opts,
+    )
+    chunked = pipe.sample_latent_chunked(
+        latent, pos, neg, seed=3, steps=6, sampler_name="dpm_adaptive",
+        chunk_size=3, sampler_options=opts,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), atol=1e-5, rtol=1e-5
+    )
+
+    def ns2(sigma_from, sigma_to, shape, dtype):
+        return -ns(sigma_from, sigma_to, shape, dtype)
+
+    other = pipe.sample_latent(
+        latent, pos, neg, seed=3, steps=6, sampler_name="dpm_adaptive",
+        sampler_options={"eta": 1.0, "s_noise": 0.9, "noise_sampler": ns2},
+    )
+    assert np.abs(np.asarray(full) - np.asarray(other)).max() > 1e-6

@@ -223,3 +223,27 @@ def test_usdu_chess_batched_interrupt():
     )
     assert len(calls) == 1  # stopped after the first wave sub-batch
     assert out.shape == (1, 128, 128, 3)
+
+
+def test_usdu_over_mesh_matches_single_device():
+    """USDU tile waves ride the mesh: batched Chess waves (and sequential
+    tiles) run through SDPipeline._shard_batch, so a dp4 x tp2 SPMD pipe
+    reproduces the single-device canvas exactly at fp32 (the SURVEY §5.7
+    'spatial tiling shards as extra batch on dp' claim, under test)."""
+    from lightdiffusion_tpu.parallel import mesh as M
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+
+    img = np.random.RandomState(1).rand(1, 48, 48, 3).astype(np.float32)
+    kw = dict(upscale_by=2.0, steps=2, denoise=0.4, tile_width=32,
+              tile_height=32, mask_blur=4, padding=8, mode_type="Chess",
+              batch_tiles=True, seed=0)
+
+    ref = ultimate_sd_upscale(_tiny_pipe(), img, "a cat", "", **kw)
+
+    pipe2 = _tiny_pipe()
+    mesh_pipe = SDPipeline(pipe2.sd, policy=L.FP32,
+                           mesh=M.make_mesh(n_dp=4, n_tp=2))
+    out = ultimate_sd_upscale(mesh_pipe, img, "a cat", "", **kw)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
