@@ -189,23 +189,29 @@ def main():
             ssim_row("ToDo-2 vs 20-step baseline",
                      quality_images(**kwargs), imgs_base)
         # trajectory-preserving stacks (scratch/stack_tune.py DC x ToDo
-        # grid): recommended = DC-3+ToDo-2; max gated = DC-4+ToDo-4
-        dcd, dcd_std = pipelined(3, batch, deepcache_interval=3, **kwargs)
-        log(f"DeepCache-3 + ToDo-2 (recommended stack): "
+        # grid + scratch/dual_tune.py DC x ui composition): recommended =
+        # DC-3+ui-2+ToDo-2; max gated = DC-4+ui-2+ToDo-4 (the dual-cache
+        # denoiser runs skip steps cond-only through the shallow blocks)
+        dcd, dcd_std = pipelined(3, batch, deepcache_interval=3,
+                                 uncond_interval=2, **kwargs)
+        log(f"DeepCache-3 + ui-2 + ToDo-2 (recommended stack): "
             f"{60.0/dcd:.1f} img/min/chip ({dcd*1000:.0f} ± "
             f"{dcd_std*1000:.0f} ms/image)")
         if imgs_base is not None:
-            ssim_row("DeepCache-3+ToDo-2 vs 20-step baseline",
-                     quality_images(deepcache_interval=3, **kwargs),
+            ssim_row("DeepCache-3+ui-2+ToDo-2 vs 20-step baseline",
+                     quality_images(deepcache_interval=3, uncond_interval=2,
+                                    **kwargs),
                      imgs_base)
         pipe.set_todo(4)
-        dcm, dcm_std = pipelined(3, batch, deepcache_interval=4, **kwargs)
-        log(f"DeepCache-4 + ToDo-4 (max gated stack): "
+        dcm, dcm_std = pipelined(3, batch, deepcache_interval=4,
+                                 uncond_interval=2, **kwargs)
+        log(f"DeepCache-4 + ui-2 + ToDo-4 (max gated stack): "
             f"{60.0/dcm:.1f} img/min/chip ({dcm*1000:.0f} ± "
             f"{dcm_std*1000:.0f} ms/image)")
         if imgs_base is not None:
-            ssim_row("DeepCache-4+ToDo-4 vs 20-step baseline",
-                     quality_images(deepcache_interval=4, **kwargs),
+            ssim_row("DeepCache-4+ui-2+ToDo-4 vs 20-step baseline",
+                     quality_images(deepcache_interval=4, uncond_interval=2,
+                                    **kwargs),
                      imgs_base)
     except Exception as e:
         log(f"ToDo bench failed: {e}")
@@ -358,7 +364,7 @@ def bench_sdxl():
         gc.collect()
 
     # guidance-delta caching at XL width (the quality-leaning alternative
-    # to DeepCache; mutually exclusive with it)
+    # to DeepCache; also composes with it — see the max-stack row below)
     try:
         ui, img_ui = timed("SDXL uncond_interval-3", uncond_interval=3)
         s = float(np.asarray(ssim(img_ui, img_base)).min())
@@ -421,8 +427,10 @@ def bench_sdxl():
         gc.collect()
     finally:
         pipex.set_todo(0)
-    # the two XL levers stack: DeepCache reuses the deep half, ToDo thins
-    # the 32^2 attention in the shallow half that still runs every step
+    # the three XL levers stack: DeepCache reuses the deep half, ToDo thins
+    # the 32^2 attention in the shallow half that still runs every step,
+    # and guidance-delta caching makes skip steps cond-only at batch 1
+    # (the dual-cache denoiser; scratch/sdxl_dual_row.py sweep)
     pipex.set_todo(4, min_tokens=1024)
     try:
         stk, img_stk = timed("SDXL DC-3+ToDo-4@1024", deepcache_interval=3)
@@ -430,6 +438,12 @@ def bench_sdxl():
         log(f"  SDXL DC-3+ToDo-4@1024 stack: {base/stk:.2f}x speedup, "
             f"ssim={s:.4f} quality-gate: "
             f"{'PASS' if s >= 0.90 else 'FLAGGED(<0.90)'}")
+        stk2, img_stk2 = timed("SDXL DC-4+ui-2+ToDo-4@1024",
+                               deepcache_interval=4, uncond_interval=2)
+        s2 = float(np.asarray(ssim(img_stk2, img_base)).min())
+        log(f"  SDXL DC-4+ui-2+ToDo-4@1024 (max gated stack): "
+            f"{base/stk2:.2f}x speedup, ssim={s2:.4f} quality-gate: "
+            f"{'PASS' if s2 >= 0.90 else 'FLAGGED(<0.90)'}")
     except Exception as e:
         log(f"  SDXL stack failed ({type(e).__name__}: {e})")
         import gc

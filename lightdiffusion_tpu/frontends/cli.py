@@ -18,11 +18,13 @@ import time
 
 
 # --preset name -> (deepcache, todo, uncond_interval). The numbers come
-# from the on-chip DC x ToDo grid and uncond_interval sweep (NOTES_ROUND3);
-# each stack's SSIM is measured per-bench-run, not assumed.
+# from the on-chip DC x ToDo grid, the uncond_interval sweep, and the
+# DC x ui composition sweep (scratch/dual_tune.py; NOTES_ROUND3): fast =
+# DC-3+ui-2+ToDo-2 (1.89x, ssim 0.992), max = DC-4+ui-2+ToDo-4 (2.20x,
+# ssim 0.989). Each stack's SSIM is re-measured per-bench-run, not assumed.
 PRESETS = {
-    "fast": (3, 2, 0),
-    "max": (4, 4, 0),
+    "fast": (3, 2, 2),
+    "max": (4, 4, 2),
     "quality": (0, 0, 2),
 }
 
@@ -31,8 +33,9 @@ def apply_preset(args) -> None:
     """Fill accelerator knobs the user didn't pass from the preset.
     Explicit flags win — including explicit zeros ('--preset fast --todo 0'
     is DeepCache without ToDo), which is why the argparse defaults are None
-    rather than 0. deepcache/uncond_interval stay mutually exclusive:
-    passing either one explicitly suppresses the preset's other knob."""
+    rather than 0. Passing either of deepcache/uncond_interval explicitly
+    suppresses the preset's other knob (the presets are single-lever;
+    explicit flags may combine the two — they compose, pipelines/sd.py)."""
     dc, todo, ui = PRESETS[args.preset]
     if args.deepcache is None and args.uncond_interval is None:
         args.deepcache = dc
@@ -84,11 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--preset", choices=("fast", "max", "quality"),
                    default=None,
                    help="measured accelerator stacks (BENCH ledger, "
-                        "SSIM-gated on-chip): fast = DeepCache-3 + ToDo-2 "
-                        "(~1.8x, ssim 0.992); max = DeepCache-4 + ToDo-4 "
-                        "(~2.0x, ssim 0.990); quality = uncond-interval-2 "
-                        "(~1.2x, ssim 0.994). Explicit --deepcache/--todo/"
-                        "--uncond-interval flags override the preset knobs")
+                        "SSIM-gated on-chip): fast = DeepCache-3 + ui-2 + "
+                        "ToDo-2 (~1.9x, ssim 0.992); max = DeepCache-4 + "
+                        "ui-2 + ToDo-4 (~2.2x, ssim 0.989); quality = "
+                        "uncond-interval-2 alone (~1.2x, ssim 0.994). "
+                        "Explicit --deepcache/--todo/--uncond-interval "
+                        "flags override the preset knobs")
     t.add_argument("--deepcache", type=int, default=None, metavar="N",
                    help="refresh deep UNet blocks every N steps (faster, "
                         "slight quality trade; 0 = off)")
@@ -96,8 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="N",
                    help="guidance-delta caching: run the uncond CFG branch "
                         "every N steps, reuse the stored delta between "
-                        "(faster, slight quality trade; 0 = off; mutually "
-                        "exclusive with --deepcache)")
+                        "(faster, slight quality trade; 0 = off; composes "
+                        "with --deepcache: skip steps run shallow cond-only)")
     t.add_argument("--int8", action="store_true",
                    help="quantize the UNet to W8A8 after LoRA merge "
                         "(int8 MXU path, ops/quant.py)")

@@ -122,8 +122,8 @@ class GenerationController:
         freeu: bool = False,  # FreeU paper defaults (models/unet.py)
         deepcache: bool = False,  # DeepCache interval 2 (chunked-capable)
         guidance_cache: bool = False,  # uncond_interval 2 (quality-leaning
-        # alternative to DeepCache; DeepCache wins if both are checked —
-        # the two are mutually exclusive by construction, pipelines/sd.py)
+        # alternative to DeepCache; checking both composes them — skip
+        # steps run shallow cond-only, pipelines/sd.py dual-cache denoiser)
         checkpoint=_KEEP,  # explicit selection; _KEEP = current
         lora=_KEEP,
     ) -> np.ndarray | None:
@@ -191,7 +191,7 @@ class GenerationController:
         negative = pipe.encode_text(neg)
         latent = pipe.empty_latent(width, height, 1)
         dc = 2 if deepcache else 0
-        ui = 2 if (guidance_cache and not deepcache) else 0
+        ui = 2 if guidance_cache else 0  # composes with DeepCache (sd.py)
         latent = pipe.sample_latent_chunked(
             latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
             sampler_name=sampler_name, scheduler=scheduler, chunk_size=5,

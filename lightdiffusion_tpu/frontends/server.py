@@ -334,10 +334,7 @@ class GenerationServer:
                     "deepcache does not combine with control_image"
                 )
         if p["uncond_interval"]:
-            if p["deepcache"]:
-                raise ValueError(
-                    "deepcache and uncond_interval are mutually exclusive"
-                )
+            # composes with deepcache (pipelines/sd.py dual-cache denoiser)
             if not (2 <= p["uncond_interval"] <= 10):
                 raise ValueError("uncond_interval must be in [2, 10]")
             if not _fixed_step_sampler(p["sampler"]):

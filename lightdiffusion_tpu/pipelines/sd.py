@@ -172,6 +172,70 @@ def _make_uncond_skip_cfg_denoiser(ms, unet_cfg, policy, unet_params, cond,
     return denoise
 
 
+def _make_dual_cache_cfg_denoiser(ms, unet_cfg, policy, unet_params, cond,
+                                  uncond, cfg_scale, dc_interval, ui_interval,
+                                  y_cond=None, y_uncond=None):
+    """Composed DeepCache + guidance-delta caching:
+    ``(x, sigma, i, (cache, delta)) -> (denoised, (cache, delta))``.
+
+    A step runs the full 2·B CFG batch whenever EITHER cadence fires —
+    ``i % ui_interval == 0`` (guidance-delta refresh) or
+    ``i % dc_interval == 0`` (deep-block refresh; promoted to a full step so
+    both cache halves refresh together) — and a cond-only B-batch shallow
+    eval reusing ``cache[:b]`` otherwise. Invariants: the deep cache is
+    never staler than ``dc_interval`` steps, the guidance delta never staler
+    than ``min(ui, dc)`` steps (full steps refresh the delta for free).
+    Opt-in accelerator beyond the reference; the two single-lever variants
+    above remain the trajectory-gentler defaults."""
+
+    def denoise(x, sigma, i, state):
+        cache, delta = state
+        b = x.shape[0]
+        ctx_c, ctx_u, y_c, y_u, sigma_b, x_in, t = _cfg_denoiser_prologue(
+            ms, policy, cond, uncond, y_cond, y_uncond, x, sigma)
+        x_in = x_in.astype(policy.compute_dtype)
+        refresh = (i % dc_interval) == 0
+        full_step = ((i % ui_interval) == 0) | refresh
+
+        def full(_):
+            x2 = jnp.concatenate([x_in, x_in], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            ctx2 = jnp.concatenate([ctx_c, ctx_u], axis=0)
+            y2 = (
+                None if y_c is None
+                else jnp.concatenate([y_c, y_u], axis=0)
+            )
+            eps2, cache2 = U.apply_unet_cached(
+                unet_params, x2, t2, ctx2, cache, refresh, y=y2,
+                cfg=unet_cfg, policy=policy,
+            )
+            den2 = ms.calculate_denoised(
+                jnp.concatenate([sigma_b, sigma_b]),
+                eps2.astype(jnp.float32),
+                jnp.concatenate([x, x], axis=0),
+            )
+            return den2[:b], den2[:b] - den2[b:], cache2
+
+        def skip(_):
+            eps, _ = U.apply_unet_cached(
+                unet_params, x_in, t, ctx_c, cache[:b],
+                jnp.asarray(False), y=y_c, cfg=unet_cfg, policy=policy,
+            )
+            d_cond = ms.calculate_denoised(
+                sigma_b, eps.astype(jnp.float32), x
+            )
+            return d_cond, delta, cache
+
+        d_cond, delta_new, cache_new = jax.lax.cond(full_step, full, skip,
+                                                    operand=None)
+        scale = jnp.asarray(cfg_scale, jnp.float32)
+        if scale.ndim:  # per-sample guidance, as in cfg.py
+            scale = scale.reshape(scale.shape + (1,) * (x.ndim - scale.ndim))
+        return d_cond + (scale - 1.0) * delta_new, (cache_new, delta_new)
+
+    return denoise
+
+
 class SDPipeline:
     def __init__(
         self,
@@ -520,14 +584,12 @@ class SDPipeline:
         caching — the uncond CFG branch runs every N steps and skip steps
         are cond-only at half UNet batch, reusing the stored
         ``d_cond − d_uncond`` delta (the DeepCache temporal-redundancy
-        observation applied to the guidance term). Mutually exclusive with
-        ``deepcache_interval``; silently disabled (like DeepCache) for
-        masked/ControlNet/inpaint-concat runs."""
-        if deepcache_interval > 1 and uncond_interval > 1:
-            raise ValueError(
-                "deepcache_interval and uncond_interval are mutually "
-                "exclusive (both thread their own denoiser state)"
-            )
+        observation applied to the guidance term). Composes with
+        ``deepcache_interval`` (both >1): skip steps then run cond-only
+        through the SHALLOW blocks only, and a deep-cache refresh promotes
+        the step to a full CFG eval so both cache halves stay coherent
+        (_make_dual_cache_cfg_denoiser). Silently disabled (like DeepCache)
+        for masked/ControlNet/inpaint-concat runs."""
         if cfg_cutoff is not None and 0.0 < cfg_cutoff < 1.0 and steps >= 2:
             if noise_mask is not None:
                 raise ValueError(
@@ -662,7 +724,12 @@ class SDPipeline:
         ms = self.sd.model_sampling
         unet_cfg = self.sd.unet_config
         policy = self.policy
-        which = "deepcache" if cfg_key.deepcache > 1 else "uncond_interval"
+        if cfg_key.deepcache > 1 and cfg_key.uncond_interval > 1:
+            which = "deepcache+uncond_interval"
+        elif cfg_key.deepcache > 1:
+            which = "deepcache"
+        else:
+            which = "uncond_interval"
 
         if make_stepper(
             cfg_key.sampler_name, lambda x, s: x, jax.random.PRNGKey(0)
@@ -683,7 +750,21 @@ class SDPipeline:
         def program(unet_params, noise, latent, cond, uncond, cfg_scale, key,
                     y_cond=None, y_uncond=None):
             b = latent.shape[0]
-            if cfg_key.deepcache > 1:
+            if cfg_key.deepcache > 1 and cfg_key.uncond_interval > 1:
+                denoise_fn = _make_dual_cache_cfg_denoiser(
+                    ms, unet_cfg, policy, unet_params, cond, uncond,
+                    cfg_scale, cfg_key.deepcache, cfg_key.uncond_interval,
+                    y_cond=y_cond, y_uncond=y_uncond,
+                )
+                state0 = (
+                    jnp.zeros(
+                        U.deepcache_shape(unet_cfg, latent.shape[1],
+                                          latent.shape[2], 2 * b),
+                        policy.compute_dtype,
+                    ),
+                    jnp.zeros(latent.shape, jnp.float32),
+                )
+            elif cfg_key.deepcache > 1:
                 denoise_fn = _make_deepcache_cfg_denoiser(
                     ms, unet_cfg, policy, unet_params, cond, uncond,
                     cfg_scale, cfg_key.deepcache, y_cond=y_cond,
@@ -757,7 +838,14 @@ class SDPipeline:
                     latent_orig=None, noise0=None, y_cond=None, y_uncond=None):
             base_apply = unet_apply_y if cfg_key.has_y else unet_apply
             if cfg_key.deepcache > 1 or cfg_key.uncond_interval > 1:
-                if cfg_key.deepcache > 1:
+                if cfg_key.deepcache > 1 and cfg_key.uncond_interval > 1:
+                    denoise_fn = _make_dual_cache_cfg_denoiser(
+                        ms, unet_cfg, policy, unet_params, cond, uncond,
+                        cfg_scale, cfg_key.deepcache,
+                        cfg_key.uncond_interval, y_cond=y_cond,
+                        y_uncond=y_uncond,
+                    )
+                elif cfg_key.deepcache > 1:
                     denoise_fn = _make_deepcache_cfg_denoiser(
                         ms, unet_cfg, policy, unet_params, cond, uncond,
                         cfg_scale, cfg_key.deepcache, y_cond=y_cond,
@@ -1003,11 +1091,6 @@ class SDPipeline:
                     "sample_latent)"
                 )
             k = max(1, min(n - 1, round(steps * cfg_cutoff)))
-        if deepcache_interval > 1 and uncond_interval > 1:
-            raise ValueError(
-                "deepcache_interval and uncond_interval are mutually "
-                "exclusive (both thread their own denoiser state)"
-            )
         dc = deepcache_interval if (
             deepcache_interval > 1 and noise_mask is None
         ) else 0
@@ -1038,6 +1121,8 @@ class SDPipeline:
                 ),
                 self.policy.compute_dtype,
             )
+            if us:
+                state = (state, jnp.zeros(latent.shape, jnp.float32))
         elif us:
             state = jnp.zeros(latent.shape, jnp.float32)
         done = 0

@@ -32,12 +32,12 @@ def test_cli_parser_uncond_interval():
 
 def test_cli_preset_fills_unset_knobs():
     """--preset fills accelerator knobs at their defaults; explicit flags
-    win; deepcache/uncond_interval never end up both set."""
+    win; the fast/max presets ship the composed dual-cache stacks."""
     from lightdiffusion_tpu.frontends.cli import apply_preset
 
     a = build_parser().parse_args(["txt2img", "x", "--preset", "fast"])
     apply_preset(a)
-    assert (a.deepcache, a.todo, a.uncond_interval) == (3, 2, 0)
+    assert (a.deepcache, a.todo, a.uncond_interval) == (3, 2, 2)
 
     a = build_parser().parse_args(["txt2img", "x", "--preset", "quality"])
     apply_preset(a)
@@ -46,10 +46,10 @@ def test_cli_preset_fills_unset_knobs():
     a = build_parser().parse_args(
         ["txt2img", "x", "--preset", "max", "--todo", "2"])
     apply_preset(a)
-    assert (a.deepcache, a.todo, a.uncond_interval) == (4, 2, 0)
+    assert (a.deepcache, a.todo, a.uncond_interval) == (4, 2, 2)
 
     # an explicit --deepcache with the quality preset suppresses the
-    # preset's uncond_interval (mutually exclusive pair)
+    # preset's uncond_interval (single-lever intent wins over the preset)
     a = build_parser().parse_args(
         ["txt2img", "x", "--preset", "quality", "--deepcache", "2"])
     apply_preset(a)
@@ -236,7 +236,7 @@ def test_generation_controller_tome_freeu_toggles():
 
 def test_generation_controller_guidance_cache_toggle():
     """The Guidance-cache checkbox forwards uncond_interval=2 to the chunked
-    sampler; DeepCache wins when both are checked (mutually exclusive)."""
+    sampler; checking DeepCache too composes the levers (dual-cache)."""
     import jax
     from tests.test_pipeline import TINY_UNET, TINY_VAE, TINY_CLIP
     from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
@@ -268,10 +268,11 @@ def test_generation_controller_guidance_cache_toggle():
     imgs = ctl.generate("a cat", "", 32, 32, 7.0, steps=4,
                         sampler_name="euler_ancestral", guidance_cache=True)
     assert imgs is not None and seen[-1] == (0, 2)
+    # both checked: the levers compose (dual-cache denoiser, pipelines/sd.py)
     ctl.generate("a cat", "", 32, 32, 7.0, steps=4,
                  sampler_name="euler_ancestral", guidance_cache=True,
                  deepcache=True)
-    assert seen[-1] == (2, 0)
+    assert seen[-1] == (2, 2)
 
 
 def test_generation_controller_int8_toggle(monkeypatch):

@@ -410,10 +410,13 @@ def test_server_uncond_interval_requests(pipe):
                           "hires_fix": True, "hires_steps": 2})
         assert img.shape == (128, 128, 3)
         assert np.isfinite(img).all()
+        # deepcache composes with uncond_interval (dual-cache denoiser)
+        img = gen.submit({"prompt": "a cat", "width": 64, "height": 64,
+                          "steps": 4, "uncond_interval": 2, "deepcache": 2})
+        assert img.shape == (64, 64, 3)
+        assert np.isfinite(img).all()
         with pytest.raises(ValueError):
             gen.submit({"prompt": "x", "uncond_interval": 1})
-        with pytest.raises(ValueError):
-            gen.submit({"prompt": "x", "uncond_interval": 2, "deepcache": 2})
         with pytest.raises(ValueError):
             gen.submit({"prompt": "x", "uncond_interval": 2,
                         "sampler": "dpm_adaptive"})
