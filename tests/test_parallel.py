@@ -53,6 +53,36 @@ def test_sharded_pipeline_matches_single_device():
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
 
+def test_sharded_stateful_accelerators_match_single_device():
+    """The stateful dual-cache program (DeepCache + guidance-delta caching)
+    runs under GSPMD: the deep cache (2·B, dp-sharded) and delta (B) thread
+    through the mesh scan, and the cond-only skip steps slice the dp-sharded
+    cache — output must match the single-device trajectory at fp32."""
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline
+
+    kw = dict(seed=3, steps=5, sampler_name="euler_ancestral",
+              deepcache_interval=2, uncond_interval=2)
+
+    sd1 = _tiny_sd()
+    pipe_single = SDPipeline(sd1, policy=L.FP32)
+    pos, neg = pipe_single.encode_text("cat"), pipe_single.encode_text("")
+    latent = pipe_single.empty_latent(32, 32, batch=8)
+    ref = pipe_single.sample_latent(latent, pos, neg, **kw)
+
+    sd2 = _tiny_sd()
+    mesh = M.make_mesh(n_dp=4, n_tp=2)
+    pipe_mesh = SDPipeline(sd2, policy=L.FP32, mesh=mesh)
+    pos_m, neg_m = pipe_mesh.encode_text("cat"), pipe_mesh.encode_text("")
+    out = pipe_mesh.sample_latent(latent, pos_m, neg_m, **kw)
+    # 5 stateful steps through a random (high-gain) UNet amplify the fp32
+    # TP-collective reduction-order noise slightly past the 1e-4 the 3-step
+    # plain-CFG mesh test holds; 1e-3 still catches any semantic divergence
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3
+    )
+
+
 def test_train_step_decreases_loss():
     from lightdiffusion_tpu.models import unet as U
     from lightdiffusion_tpu.ops import layers as L
