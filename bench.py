@@ -61,6 +61,21 @@ def main():
     assert np.isfinite(img).all()
     lat, lat_std = timed_reps(3, 1, **kwargs)
     log(f"batch-1 latency: {lat*1000:.0f} ± {lat_std*1000:.0f} ms/image")
+    # interactive latency with the max gated stack (the dual-cache skip
+    # steps run the UNet at batch 1 here, so the win is larger than the
+    # throughput ratio suggests); SSIM for this config is gated in the
+    # batch-4 stack row below
+    try:
+        pipe.set_todo(4)
+        lat_s, lat_s_std = timed_reps(
+            3, 1, deepcache_interval=4, uncond_interval=2, **kwargs)
+        log(f"batch-1 latency (DC-4+ui-2+ToDo-4 max stack): "
+            f"{lat_s*1000:.0f} ± {lat_s_std*1000:.0f} ms/image "
+            f"({lat/lat_s:.2f}x)")
+    except Exception as e:
+        log(f"batch-1 stacked latency failed ({e})")
+    finally:
+        pipe.set_todo(0)
 
     # ---- serving throughput: steady-state PIPELINED at the saturating
     # batch (4). Programs queue on the device back-to-back; the host's

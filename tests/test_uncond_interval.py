@@ -273,3 +273,17 @@ def test_dual_pipeline_runs_and_chunked_matches(pipe):  # noqa: F811
     ui_only = pipe.sample_latent(latent, pos, neg, uncond_interval=3, **kw)
     assert np.abs(np.asarray(dual) - np.asarray(dc_only)).max() > 1e-6
     assert np.abs(np.asarray(dual) - np.asarray(ui_only)).max() > 1e-6
+
+
+def test_dual_through_txt2img_hires(pipe):  # noqa: F811
+    """txt2img forwards both intervals to the base AND hires passes (the
+    --preset max path: DC + ui + hires compose end-to-end)."""
+    from lightdiffusion_tpu.pipelines.sd import txt2img
+
+    img = txt2img(
+        pipe, "a cat", "blurry", width=32, height=32, steps=5, seed=11,
+        sampler_name="euler_ancestral", hires_fix=True, hires_steps=3,
+        deepcache_interval=2, uncond_interval=2,
+    )
+    assert img.shape == (1, 64, 64, 3)
+    assert np.isfinite(img).all()
