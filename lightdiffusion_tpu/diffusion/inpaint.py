@@ -47,3 +47,30 @@ def make_masked_denoiser(
         return out * m + latent_orig * (1.0 - m)
 
     return fn
+
+
+def make_masked_stateful_denoiser(
+    denoise_fn,  # (x, sigma, i, state) -> (denoised, state)
+    latent_orig: jnp.ndarray,
+    noise: jnp.ndarray,
+    mask: jnp.ndarray,
+    mask_fn=None,
+):
+    """Stateful-protocol variant of :func:`make_masked_denoiser`, so the
+    cached accelerators (DeepCache / guidance-delta / dual) reach the masked
+    flows — the detailer's per-seg passes and masked USDU tiles, the
+    reference's slowest phases (:10646-10662). The blend wraps the model
+    call exactly like the plain variant; the accelerator state threads
+    through untouched."""
+
+    def fn(x, sigma, i, state):
+        m = mask_fn(sigma, mask) if mask_fn is not None else mask
+        m = m.astype(x.dtype)
+        sigma_b = jnp.asarray(sigma, jnp.float32)
+        while sigma_b.ndim < x.ndim:
+            sigma_b = sigma_b[..., None]
+        x_blend = x * m + (latent_orig + noise * sigma_b) * (1.0 - m)
+        out, state = denoise_fn(x_blend, sigma, i, state)
+        return out * m + latent_orig * (1.0 - m), state
+
+    return fn

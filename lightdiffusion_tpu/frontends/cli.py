@@ -141,6 +141,11 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--cfg", type=float, default=6.0)
     i.add_argument("--denoise", type=float, default=0.3)
     i.add_argument("--tile", type=int, default=512)
+    i.add_argument("--deepcache", type=int, default=0, metavar="N",
+                   help="DeepCache for the tile redraw passes (0 = off)")
+    i.add_argument("--uncond-interval", type=int, default=0, metavar="N",
+                   help="guidance-delta caching for the tile redraw passes "
+                        "(0 = off; composes with --deepcache)")
 
     pl = sub.add_parser("pipeline", help="reference headless pipeline (ref :10001)")
     common(pl)
@@ -403,7 +408,8 @@ def main(argv=None):
             pipe, img[None], args.prompt, args.negative,
             upscale_by=args.scale, steps=args.steps, cfg=args.cfg,
             denoise=args.denoise, tile_width=args.tile, tile_height=args.tile,
-            seed=args.seed,
+            seed=args.seed, deepcache_interval=args.deepcache,
+            uncond_interval=args.uncond_interval,
         )
         SaveImage().save_images(out, args.output_prefix + "-img2img")
     print(f"done in {time.time()-t0:.1f}s", file=sys.stderr)

@@ -225,6 +225,9 @@ class GenerationController:
             imgs = run_adetailer(
                 pipe, imgs, seed=seed,
                 interrupt=lambda: self.interrupt_flag, on_seg=on_seg,
+                # the sidebar accelerator toggles reach the (slowest)
+                # masked detail passes too (stateful masked denoisers)
+                deepcache_interval=dc, uncond_interval=ui,
             )
         return imgs
 

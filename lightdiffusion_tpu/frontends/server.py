@@ -121,7 +121,7 @@ _ALLOWED_IMG2IMG = {
     "init_image", "prompt", "negative_prompt", "upscale_by", "steps", "cfg",
     "denoise", "seed", "sampler", "scheduler", "mode_type", "seam_fix_mode",
     "seam_fix_denoise", "tile_width", "tile_height", "mask_blur", "padding",
-    "format",
+    "deepcache", "uncond_interval", "format",
 }
 
 
@@ -397,6 +397,8 @@ class GenerationServer:
             "tile_height": int(params.get("tile_height", 512)),
             "mask_blur": int(params.get("mask_blur", 16)),
             "padding": int(params.get("padding", 32)),
+            "deepcache": int(params.get("deepcache", 0)),
+            "uncond_interval": int(params.get("uncond_interval", 0)),
             "format": str(params.get("format", "png")),
         }
         if not (1.0 <= p["upscale_by"] <= 4.0):
@@ -416,6 +418,13 @@ class GenerationServer:
             raise ValueError("steps out of range [1, 200]")
         if not (0.0 < p["denoise"] <= 1.0):
             raise ValueError("denoise out of range (0, 1]")
+        for knob in ("deepcache", "uncond_interval"):
+            if p[knob] and not (2 <= p[knob] <= 10):
+                raise ValueError(f"{knob} must be in [2, 10]")
+            if p[knob] and not _fixed_step_sampler(p["sampler"]):
+                raise ValueError(
+                    f"{knob} needs a fixed-step sampler, not {p['sampler']!r}"
+                )
         return p
 
     def _run_img2img(self, req: _Request) -> np.ndarray:
@@ -430,7 +439,8 @@ class GenerationServer:
             tile_height=p["tile_height"], mask_blur=p["mask_blur"],
             padding=p["padding"], seam_fix_mode=p["seam_fix_mode"],
             seam_fix_denoise=p["seam_fix_denoise"], seed=p["seed"],
-            mode_type=p["mode_type"],
+            mode_type=p["mode_type"], deepcache_interval=p["deepcache"],
+            uncond_interval=p["uncond_interval"],
         )
 
     def _gather(self) -> list[_Request]:

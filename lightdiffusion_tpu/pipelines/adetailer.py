@@ -75,10 +75,15 @@ def adetailer_pass(
     noise_mask_feather: int = 20,
     on_seg=None,  # fn(done, total, canvas) -> False stops between segs
     on_chunk=None,  # fn(done, total, latent_np) -> False stops mid-seg
+    deepcache_interval: int = 0,
+    uncond_interval: int = 0,
 ) -> np.ndarray:
     """One detect→mask→detail pass (ref §3.3 call stack). The callbacks make
     the (slowest) detailer phase interruptible/previewable, like the
-    reference's in-loop interrupt_flag polling (:922/:1076)."""
+    reference's in-loop interrupt_flag polling (:922/:1076). The cached
+    accelerators (deepcache/uncond_interval, composable) reach the masked
+    per-seg sampling — at the 40-step default they cut the slowest phase
+    the most."""
     boxes, scores, labels, masks = detector(image, conf=bbox_threshold)
     segs = bboxes_to_segs(
         image, boxes, scores, labels, threshold=bbox_threshold,
@@ -105,6 +110,8 @@ def adetailer_pass(
         sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,
         noise_mask=True, noise_mask_feather=noise_mask_feather,
         on_seg=on_seg, on_chunk=on_chunk,
+        deepcache_interval=deepcache_interval,
+        uncond_interval=uncond_interval,
     )
     return canvas
 

@@ -588,8 +588,10 @@ class SDPipeline:
         ``deepcache_interval`` (both >1): skip steps then run cond-only
         through the SHALLOW blocks only, and a deep-cache refresh promotes
         the step to a full CFG eval so both cache halves stay coherent
-        (_make_dual_cache_cfg_denoiser). Silently disabled (like DeepCache)
-        for masked/ControlNet/inpaint-concat runs."""
+        (_make_dual_cache_cfg_denoiser). Both cached accelerators reach
+        masked runs too (the detailer's per-seg passes — the reference's
+        slowest phase — via make_masked_stateful_denoiser); silently
+        disabled (like DeepCache) for ControlNet/inpaint-concat runs."""
         if cfg_cutoff is not None and 0.0 < cfg_cutoff < 1.0 and steps >= 2:
             if noise_mask is not None:
                 raise ValueError(
@@ -637,14 +639,13 @@ class SDPipeline:
             differential_diffusion=differential_diffusion and noise_mask is not None,
             deepcache=(
                 deepcache_interval
-                if noise_mask is None and control is None
-                and concat_cond is None
+                if control is None and concat_cond is None
                 else 0
             ),
             uncond_interval=(
                 uncond_interval
-                if noise_mask is None and control is None
-                and concat_cond is None and not _uncond_free
+                if control is None and concat_cond is None
+                and not _uncond_free
                 else 0
             ),
             has_y=y_cond is not None,
@@ -748,7 +749,7 @@ class SDPipeline:
 
         @jax.jit
         def program(unet_params, noise, latent, cond, uncond, cfg_scale, key,
-                    y_cond=None, y_uncond=None):
+                    mask=None, y_cond=None, y_uncond=None):
             b = latent.shape[0]
             if cfg_key.deepcache > 1 and cfg_key.uncond_interval > 1:
                 denoise_fn = _make_dual_cache_cfg_denoiser(
@@ -782,6 +783,21 @@ class SDPipeline:
                     y_uncond=y_uncond,
                 )
                 state0 = jnp.zeros(latent.shape, jnp.float32)
+            if cfg_key.masked:
+                from ..diffusion.inpaint import (
+                    differential_diffusion_mask_fn,
+                    make_masked_stateful_denoiser,
+                )
+
+                mask_fn = (
+                    differential_diffusion_mask_fn(ms)
+                    if cfg_key.differential_diffusion
+                    else None
+                )
+                denoise_fn = make_masked_stateful_denoiser(
+                    denoise_fn, latent.astype(jnp.float32),
+                    noise.astype(jnp.float32), mask, mask_fn
+                )
             x = ms.noise_scaling(
                 jnp.float32(sigmas[0]), noise.astype(jnp.float32),
                 latent.astype(jnp.float32), max_denoise,
@@ -856,6 +872,20 @@ class SDPipeline:
                         ms, unet_cfg, policy, unet_params, cond, uncond,
                         cfg_scale, cfg_key.uncond_interval, y_cond=y_cond,
                         y_uncond=y_uncond,
+                    )
+                if cfg_key.masked:
+                    from ..diffusion.inpaint import (
+                        differential_diffusion_mask_fn,
+                        make_masked_stateful_denoiser,
+                    )
+
+                    mask_fn = (
+                        differential_diffusion_mask_fn(ms)
+                        if cfg_key.differential_diffusion
+                        else None
+                    )
+                    denoise_fn = make_masked_stateful_denoiser(
+                        denoise_fn, latent_orig, noise0, mask, mask_fn
                     )
                 body = make_stepper(
                     cfg_key.sampler_name, denoise_fn, key, eta=eta,
@@ -1091,12 +1121,8 @@ class SDPipeline:
                     "sample_latent)"
                 )
             k = max(1, min(n - 1, round(steps * cfg_cutoff)))
-        dc = deepcache_interval if (
-            deepcache_interval > 1 and noise_mask is None
-        ) else 0
-        us = uncond_interval if (
-            uncond_interval > 1 and noise_mask is None
-        ) else 0
+        dc = deepcache_interval if deepcache_interval > 1 else 0
+        us = uncond_interval if uncond_interval > 1 else 0
         mask_kwargs = {}
         if noise_mask is not None:
             mask = jnp.asarray(noise_mask, jnp.float32)

@@ -123,6 +123,8 @@ def enhance_detail(
     cycle: int = 1,
     noise_mask_feather: int = 20,
     on_chunk=None,  # fn(done, total, latent_np) -> False stops mid-pass
+    deepcache_interval: int = 0,
+    uncond_interval: int = 0,
 ) -> np.ndarray | None:
     """(ref :9208-9352) Returns the enhanced crop (crop-region sized).
 
@@ -131,7 +133,12 @@ def enhance_detail(
     polls app.interrupt_flag inside every sampler loop (:922/:1076); a
     False return stops sampling at the next chunk boundary and the
     partially-denoised crop is returned (matching the reference's
-    break-and-continue interrupt semantics)."""
+    break-and-continue interrupt semantics).
+
+    ``deepcache_interval``/``uncond_interval``: the cached accelerators
+    reach this masked per-seg pass (make_masked_stateful_denoiser) — at the
+    reference's 40-step detail config this is the slowest phase, so the
+    cadence savings matter most here."""
     x1, y1, x2, y2 = seg.crop_region
     crop = image[y1:y2, x1:x2]
     ch, cw = crop.shape[:2]
@@ -174,6 +181,8 @@ def enhance_detail(
                 noise_mask=jnp.asarray(lm) if noise_mask else None,
                 differential_diffusion=noise_mask_feather > 0,
                 on_chunk=on_chunk,
+                deepcache_interval=deepcache_interval,
+                uncond_interval=uncond_interval,
             )
         else:
             latent = pipe.sample_latent(
@@ -182,6 +191,8 @@ def enhance_detail(
                 denoise=denoise,
                 noise_mask=jnp.asarray(lm) if noise_mask else None,
                 differential_diffusion=noise_mask_feather > 0,
+                deepcache_interval=deepcache_interval,
+                uncond_interval=uncond_interval,
             )
     decoded = np.asarray(pipe.decode(latent), np.float32)[0]
     back = np.asarray(resize(jnp.asarray(decoded[None]), cw, ch, "lanczos"))[0]

@@ -60,8 +60,10 @@ def upscale_image(
 
 def _redraw_tile(pipe, canvas, mask, positive, negative, tile_w, tile_h,
                  padding, mask_blur, steps, cfg, denoise, sampler_name,
-                 scheduler, seed):
-    """One masked img2img redraw (the reference's process_images :7629)."""
+                 scheduler, seed, accel=None):
+    """One masked img2img redraw (the reference's process_images :7629).
+    ``accel``: optional dict of cached-accelerator kwargs for the tile's
+    sampling call (deepcache_interval/uncond_interval, composable)."""
     h, w = canvas.shape[:2]
     if mask.max() <= 0:
         return
@@ -82,6 +84,7 @@ def _redraw_tile(pipe, canvas, mask, positive, negative, tile_w, tile_h,
     sampled = pipe.sample_latent(
         latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
         sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,
+        **(accel or {}),
     )
     decoded = np.asarray(pipe.decode(sampled), np.float32)
     back = np.asarray(resize(jnp.asarray(decoded), cw, ch, "lanczos"))[0]
@@ -91,7 +94,7 @@ def _redraw_tile(pipe, canvas, mask, positive, negative, tile_w, tile_h,
 def _redraw_tiles_batched(pipe, canvas, masks, positive, negative, tile_w,
                           tile_h, padding, mask_blur, steps, cfg, denoise,
                           sampler_name, scheduler, seed, tile_batch=4,
-                          tick=None):
+                          tick=None, accel=None):
     """Redraw several independent tiles in ONE batched sampling program —
     the TPU-native move (SURVEY §5.7: tiles shard as batch; the reference
     processes tiles strictly sequentially, :7945). Used for Chess waves,
@@ -126,6 +129,7 @@ def _redraw_tiles_batched(pipe, canvas, masks, positive, negative, tile_w,
         sampled = pipe.sample_latent(
             latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
             sampler_name=sampler_name, scheduler=scheduler, denoise=denoise,
+            **(accel or {}),
         )
         decoded = np.asarray(pipe.decode(sampled), np.float32)
         for i in range(n_real):
@@ -165,6 +169,8 @@ def ultimate_sd_upscale(
     mode_type: str = "Linear",
     batch_tiles: bool = True,
     on_tile=None,  # fn(done, total, canvas) -> False stops the upscale
+    deepcache_interval: int = 0,
+    uncond_interval: int = 0,
 ) -> np.ndarray:
     """Full USDU (defaults mirror the reference GUI img2img call
     :10392-10417). ``batch_tiles``: in Chess mode, redraw each parity wave
@@ -178,6 +184,12 @@ def ultimate_sd_upscale(
     :10794); returning False stops the pass and keeps the canvas so far."""
     positive = pipe.encode_text(prompt)
     negative_c = pipe.encode_text(negative)
+    # cached accelerators (composable) for every tile/seam sampling call
+    accel = {}
+    if deepcache_interval > 1:
+        accel["deepcache_interval"] = deepcache_interval
+    if uncond_interval > 1:
+        accel["uncond_interval"] = uncond_interval
     b, h, w, _ = images.shape
     target_w, target_h = round(w * upscale_by), round(h * upscale_by)
     upscaled = upscale_image(images, target_w, target_h, esrgan)
@@ -241,6 +253,7 @@ def ultimate_sd_upscale(
                     pipe, canvas, wave, positive, negative_c, tile_width,
                     tile_height, padding, mask_blur, steps, cfg, denoise,
                     sampler_name, scheduler, seed, tick=tick,
+                    accel=accel,
                 )
             tile_order = []
         elif mode_type == "Chess":
@@ -261,7 +274,7 @@ def ultimate_sd_upscale(
             _redraw_tile(
                 pipe, canvas, m, positive, negative_c, tile_width,
                 tile_height, padding, mask_blur, steps, cfg, denoise,
-                sampler_name, scheduler, seed,
+                sampler_name, scheduler, seed, accel=accel,
             )
             tick()
 
@@ -277,7 +290,7 @@ def ultimate_sd_upscale(
                     pipe, canvas, m, positive, negative_c, cw,
                     seam_fix_width, seam_fix_padding, seam_fix_mask_blur,
                     steps, cfg, seam_fix_denoise, sampler_name, scheduler,
-                    seed,
+                    seed, accel=accel,
                 )
                 tick()
             for xi in range(cols - 1):
@@ -289,6 +302,7 @@ def ultimate_sd_upscale(
                     pipe, canvas, m, positive, negative_c, seam_fix_width,
                     ch, seam_fix_padding, seam_fix_mask_blur, steps, cfg,
                     seam_fix_denoise, sampler_name, scheduler, seed,
+                    accel=accel,
                 )
                 tick()
 
@@ -320,7 +334,7 @@ def ultimate_sd_upscale(
                         pipe, canvas, m, positive, negative_c, tile_width,
                         tile_height, seam_fix_padding, seam_fix_mask_blur,
                         steps, cfg, seam_fix_denoise, sampler_name,
-                        scheduler, seed,
+                        scheduler, seed, accel=accel,
                     )
                     tick()
             # vertical seams
@@ -339,7 +353,7 @@ def ultimate_sd_upscale(
                         pipe, canvas, m, positive, negative_c, tile_width,
                         tile_height, seam_fix_padding, seam_fix_mask_blur,
                         steps, cfg, seam_fix_denoise, sampler_name,
-                        scheduler, seed,
+                        scheduler, seed, accel=accel,
                     )
                     tick()
         # ---- seams fix: + Intersections (radial masks at tile corners) ----
@@ -362,7 +376,7 @@ def ultimate_sd_upscale(
                         pipe, canvas, m, positive, negative_c, tile_width,
                         tile_height, seam_fix_padding, seam_fix_mask_blur,
                         steps, cfg, seam_fix_denoise, sampler_name,
-                        scheduler, seed,
+                        scheduler, seed, accel=accel,
                     )
                     tick()
         out.append(canvas)

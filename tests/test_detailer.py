@@ -199,3 +199,34 @@ def test_adetailer_interrupt_poll():
         interrupt=lambda: False,
     )
     assert np.abs(out2 - imgs).max() > 1e-5  # ran the face pass
+
+
+def test_detailer_accelerator_threading():
+    """The cached accelerators reach the masked per-seg sampling (the
+    slowest reference phase): enhance_detail forwards both intervals and
+    the masked stateful program produces a finite crop."""
+    from lightdiffusion_tpu.postprocess.detailer import SEG, enhance_detail
+    from tests.test_usdu import _tiny_pipe
+
+    pipe = _tiny_pipe()
+    img = np.random.RandomState(1).rand(64, 64, 3).astype(np.float32)
+    mask = np.zeros((32, 32), np.float32)
+    mask[8:24, 8:24] = 1.0
+    seg = SEG(cropped_image=None, cropped_mask=mask,
+              crop_region=(16, 16, 48, 48), bbox=(24, 24, 40, 40),
+              confidence=0.9, label="face")
+    seen = []
+    orig = pipe.sample_latent
+
+    def spy(*a, **kw):
+        seen.append((kw.get("deepcache_interval"), kw.get("uncond_interval")))
+        return orig(*a, **kw)
+
+    pipe.sample_latent = spy
+    crop = enhance_detail(
+        pipe, img, seg, pipe.encode_text("x"), pipe.encode_text(""),
+        guide_size=32.0, max_size=48.0, steps=4, denoise=0.6,
+        noise_mask_feather=2, deepcache_interval=2, uncond_interval=2,
+    )
+    assert crop is not None and np.isfinite(crop).all()
+    assert seen and all(s == (2, 2) for s in seen)

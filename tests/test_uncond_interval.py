@@ -287,3 +287,63 @@ def test_dual_through_txt2img_hires(pipe):  # noqa: F811
     )
     assert img.shape == (1, 64, 64, 3)
     assert np.isfinite(img).all()
+
+
+def test_masked_dual_chunked_matches_and_preserves_outside(pipe):  # noqa: F811
+    """Cached accelerators now reach MASKED sampling (the detailer's per-seg
+    path). Contracts: chunked == monolithic with the state threading through
+    chunks; and the outside-mask region is bit-for-bit accelerator-
+    independent (the masked denoiser restores latent_orig there every step,
+    so only the in-mask trajectory can differ; 1e-4 tolerance = fp32
+    fusion-order noise between distinct XLA programs)."""
+    latent = jax.random.normal(jax.random.PRNGKey(8), (1, 4, 4, 4),
+                               jnp.float32)
+    mask = np.zeros((1, 4, 4, 1), np.float32)
+    mask[:, :2] = 1.0  # regenerate the top half only
+    mask = jnp.asarray(mask)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    kw = dict(seed=4, steps=6, sampler_name="euler_ancestral", denoise=0.7)
+
+    dual = pipe.sample_latent(
+        latent, pos, neg, noise_mask=mask, deepcache_interval=2,
+        uncond_interval=3, **kw
+    )
+    assert np.isfinite(np.asarray(dual)).all()
+    chunked = pipe.sample_latent_chunked(
+        latent, pos, neg, noise_mask=mask, deepcache_interval=2,
+        uncond_interval=3, chunk_size=3, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(dual), np.asarray(chunked), atol=1e-4, rtol=1e-4
+    )
+
+    plain = pipe.sample_latent(latent, pos, neg, noise_mask=mask, **kw)
+    d, p = np.asarray(dual), np.asarray(plain)
+    # in-mask trajectory differs (the accelerator is actually on)...
+    assert np.abs(d[:, :2] - p[:, :2]).max() > 1e-6
+    # ...outside-mask result identical to the unaccelerated masked run
+    np.testing.assert_allclose(d[:, 2:], p[:, 2:], atol=1e-4, rtol=1e-4)
+
+    # single-lever masked runs too (DeepCache alone / ui alone)
+    for akw in ({"deepcache_interval": 2}, {"uncond_interval": 2}):
+        out = pipe.sample_latent(latent, pos, neg, noise_mask=mask,
+                                 **akw, **kw)
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(
+            np.asarray(out)[:, 2:], p[:, 2:], atol=1e-4, rtol=1e-4
+        )
+
+
+def test_masked_differential_diffusion_stateful(pipe):  # noqa: F811
+    """DifferentialDiffusion's per-step mask threshold composes with the
+    stateful path (soft mask, the detailer's feathered-seg flow)."""
+    latent = jax.random.normal(jax.random.PRNGKey(9), (1, 4, 4, 4),
+                               jnp.float32)
+    soft = np.linspace(0.0, 1.0, 16, dtype=np.float32).reshape(1, 4, 4, 1)
+    out = pipe.sample_latent(
+        latent, pipe.encode_text("cat"), pipe.encode_text(""),
+        noise_mask=jnp.asarray(soft), differential_diffusion=True,
+        deepcache_interval=2, uncond_interval=2, seed=2, steps=4,
+        sampler_name="euler_ancestral", denoise=0.6,
+    )
+    assert np.isfinite(np.asarray(out)).all()

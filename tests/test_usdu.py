@@ -247,3 +247,28 @@ def test_usdu_over_mesh_matches_single_device():
     out = ultimate_sd_upscale(mesh_pipe, img, "a cat", "", **kw)
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_usdu_accelerator_threading():
+    """deepcache_interval/uncond_interval reach every tile AND seam redraw
+    sampling call (the accel dict), and the result stays finite."""
+    pipe = _tiny_pipe()
+    img = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+    seen = []
+    orig = pipe.sample_latent
+
+    def spy(*a, **kw):
+        seen.append((kw.get("deepcache_interval"), kw.get("uncond_interval")))
+        return orig(*a, **kw)
+
+    pipe.sample_latent = spy
+    out = ultimate_sd_upscale(
+        pipe, img, "x", "", upscale_by=2.0, steps=4, denoise=0.4,
+        tile_width=32, tile_height=32, mask_blur=2, padding=4,
+        seam_fix_mode="Band Pass", seam_fix_denoise=0.3, seam_fix_width=16,
+        mode_type="Linear", seed=0,
+        deepcache_interval=2, uncond_interval=3,
+    )
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out).all()
+    assert seen and all(s == (2, 3) for s in seen)
