@@ -17,16 +17,7 @@ import sys
 import time
 
 
-# --preset name -> (deepcache, todo, uncond_interval). The numbers come
-# from the on-chip DC x ToDo grid, the uncond_interval sweep, and the
-# DC x ui composition sweep (scratch/dual_tune.py; NOTES_ROUND3): fast =
-# DC-3+ui-2+ToDo-2 (1.89x, ssim 0.992), max = DC-4+ui-2+ToDo-4 (2.20x,
-# ssim 0.989). Each stack's SSIM is re-measured per-bench-run, not assumed.
-PRESETS = {
-    "fast": (3, 2, 2),
-    "max": (4, 4, 2),
-    "quality": (0, 0, 2),
-}
+from ..presets import PRESETS
 
 
 def apply_preset(args) -> None:
@@ -154,6 +145,12 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--height", type=int, default=512)
     pl.add_argument("--number", type=int, default=1)
     pl.add_argument("--no-enhance", action="store_true")
+    pl.add_argument("--preset", choices=("fast", "max", "quality"),
+                    default=None,
+                    help="measured accelerator stack for the whole workload "
+                         "(presets.py): the dpm_adaptive base pass keeps "
+                         "only the stateless levers (ToDo), the hires pass "
+                         "runs the full stack")
 
     w = sub.add_parser(
         "warmup",
@@ -299,7 +296,7 @@ def main(argv=None):
         pipeline(
             args.prompt, args.width, args.height, args.number,
             enhance=not args.no_enhance, random_init=args.random_init,
-            seed=args.seed,
+            seed=args.seed, preset=args.preset,
             pipe=None if mesh is None else load_default_pipeline(
                 checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
                 clip_skip=args.clip_skip, random_init=args.random_init,

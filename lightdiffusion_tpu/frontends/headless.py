@@ -80,12 +80,28 @@ def pipeline(
     save: bool = True,
     seed: int = 0,
     random_init: bool = False,
+    preset: str | None = None,
 ) -> np.ndarray:
-    """(ref :10001) Returns the final images (B,H,W,3) in [0,1]."""
+    """(ref :10001) Returns the final images (B,H,W,3) in [0,1].
+
+    ``preset``: "fast" | "max" | "quality" — apply a measured accelerator
+    stack (presets.py) to the whole workload. ToDo is set on ``pipe``
+    (config-level, so it also reaches the dpm_adaptive base pass);
+    DeepCache/guidance-delta apply where the sampler supports them — the
+    adaptive base pass downgrades them gracefully (txt2img), the hires
+    pass runs the full stack. Beyond the reference, whose headless entry
+    has no accelerator surface at all (:10001-10087)."""
     if pipe is None:
         pipe = load_default_pipeline(random_init=random_init)
     if enhance:
         prompt = enhance_prompt(prompt)
+    deepcache_interval = uncond_interval = 0
+    if preset is not None:
+        from ..presets import PRESETS
+
+        deepcache_interval, todo, uncond_interval = PRESETS[preset]
+        if todo:
+            pipe.set_todo(todo)
     imgs = txt2img(
         pipe,
         prompt,
@@ -102,6 +118,8 @@ def pipeline(
         hires_steps=10,
         hires_denoise=0.45,
         hires_cfg=8.0,
+        deepcache_interval=deepcache_interval,
+        uncond_interval=uncond_interval,
     )
     if save:
         SaveImage().save_images(imgs, "LD-HiRes")

@@ -1240,11 +1240,27 @@ def txt2img(
     positive = pipe.encode_text(prompt)
     negative = pipe.encode_text(negative_prompt)
     latent = pipe.empty_latent(width, height, batch)
+    base_dc, base_ui = deepcache_interval, uncond_interval
+    if base_dc > 1 or base_ui > 1:
+        from ..diffusion.samplers import make_stepper
+
+        if make_stepper(
+            sampler_name, lambda x, s: x, jax.random.PRNGKey(0)
+        ) is None:
+            # adaptive/multi-eval samplers have no fixed-step form, so the
+            # stateful cached accelerators cannot apply — run the base pass
+            # plain rather than erroring out of the whole workload (the
+            # hires pass below is always euler_ancestral and keeps them)
+            log.info(
+                "deepcache/uncond_interval unsupported for sampler %r; "
+                "base pass runs unaccelerated", sampler_name,
+            )
+            base_dc = base_ui = 0
     latent = pipe.sample_latent(
         latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
         sampler_name=sampler_name, scheduler=scheduler,
-        deepcache_interval=deepcache_interval,
-        uncond_interval=uncond_interval, cfg_cutoff=cfg_cutoff,
+        deepcache_interval=base_dc,
+        uncond_interval=base_ui, cfg_cutoff=cfg_cutoff,
         control=control,
     )
     if hires_fix:

@@ -464,3 +464,100 @@ def test_cli_mesh_flags():
     a = build_parser().parse_args(["txt2img", "x", "--dp", "64"])
     with pytest.raises(SystemExit):
         _mesh_from_args(a)
+
+
+def test_headless_pipeline_preset(monkeypatch):
+    """pipeline(preset=...) applies the measured stack (presets.py): ToDo is
+    set on the pipe (config-level, reaches the adaptive base pass too) and
+    DeepCache/uncond_interval flow into txt2img. The reference's headless
+    entry has no accelerator surface (:10001)."""
+    import numpy as np
+
+    from lightdiffusion_tpu.frontends import headless
+    from lightdiffusion_tpu.presets import PRESETS
+
+    class FakePipe:
+        def __init__(self):
+            self.todo = None
+
+        def set_todo(self, factor, min_tokens=4096):
+            self.todo = factor
+
+    seen = {}
+
+    def fake_txt2img(pipe, prompt, negative, **kwargs):
+        seen.update(kwargs)
+        return np.zeros((1, 8, 8, 3), np.float32)
+
+    monkeypatch.setattr(headless, "txt2img", fake_txt2img)
+    pipe = FakePipe()
+    headless.pipeline("cat", 64, 64, pipe=pipe, enhance=False, save=False,
+                      preset="fast")
+    dc, todo, ui = PRESETS["fast"]
+    assert pipe.todo == todo
+    assert seen["deepcache_interval"] == dc
+    assert seen["uncond_interval"] == ui
+    assert seen["hires_fix"] is True and seen["steps"] == 40
+
+    # no preset -> accelerators off, pipe untouched
+    pipe2 = FakePipe()
+    seen.clear()
+    headless.pipeline("cat", 64, 64, pipe=pipe2, enhance=False, save=False)
+    assert pipe2.todo is None
+    assert seen["deepcache_interval"] == 0 and seen["uncond_interval"] == 0
+
+
+def test_txt2img_adaptive_downgrades_stateful_accel(monkeypatch):
+    """dpm_adaptive has no fixed-step form, so deepcache/uncond_interval
+    cannot apply to it (pipelines/sd.py raises at the program level);
+    txt2img instead runs the base pass plain and keeps the full stack on
+    the euler_ancestral hires pass — a preset never crashes the reference
+    default workload."""
+    import jax
+
+    from tests.test_pipeline import TINY_UNET, TINY_VAE, TINY_CLIP
+    from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
+    from lightdiffusion_tpu.models import unet as U, vae as V, clip as C
+    from lightdiffusion_tpu.ops import layers as L
+    from lightdiffusion_tpu.diffusion.parameterization import (
+        make_discrete_sampling,
+    )
+    from lightdiffusion_tpu.pipelines.sd import SDPipeline, txt2img
+
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    sd = StableDiffusion(
+        unet_params=U.init_unet_params(k[0], TINY_UNET),
+        unet_config=TINY_UNET,
+        clip_params=C.init_clip_params(k[1], TINY_CLIP),
+        clip_config=TINY_CLIP,
+        vae_params=V.init_vae_params(k[2], TINY_VAE), vae_config=TINY_VAE,
+        model_sampling=make_discrete_sampling("eps"),
+    )
+    pipe = SDPipeline(sd, policy=L.FP32)
+
+    calls = []
+
+    def spy(self, latent, positive, negative, **kwargs):
+        calls.append((kwargs.get("sampler_name"),
+                      kwargs.get("deepcache_interval", 0),
+                      kwargs.get("uncond_interval", 0)))
+        return latent  # skip the actual solve: wiring is what's under test
+
+    monkeypatch.setattr(SDPipeline, "sample_latent", spy)
+    imgs = txt2img(
+        pipe, "a cat", "bad", width=64, height=64, steps=4,
+        sampler_name="dpm_adaptive", scheduler="karras", hires_fix=True,
+        hires_steps=2, deepcache_interval=3, uncond_interval=2,
+    )
+    assert imgs.shape == (1, 128, 128, 3)
+    assert calls[0] == ("dpm_adaptive", 0, 0)  # base: downgraded, not a crash
+    assert calls[1] == ("euler_ancestral", 3, 2)  # hires keeps the stack
+
+    # supported samplers keep the stack on BOTH passes
+    calls.clear()
+    txt2img(
+        pipe, "a cat", "bad", width=64, height=64, steps=4,
+        sampler_name="euler", hires_fix=True, hires_steps=2,
+        deepcache_interval=3, uncond_interval=2,
+    )
+    assert calls[0] == ("euler", 3, 2)
