@@ -5,20 +5,101 @@ Baseline: the reference's stable-fast CUDA path (README claims ~1.7× over
 torch; commonly ~2 s/image for SD1.5 20 steps ⇒ 30 images/min/chip). We
 report images/min/chip; vs_baseline = value / 30.
 
+Driver-survivability contract (VERDICT r3 #1/#2):
+- The headline JSON prints IMMEDIATELY after the batch-4 pipelined
+  measurement — every other row is opt-in diagnostics that follow it.
+- A SIGTERM/SIGINT or interpreter exit flushes the best-available headline
+  (pipelined if measured, else batch-1-derived) before dying, so even a
+  hard driver timeout leaves the JSON on stdout.
+- An elapsed-time budget (--budget-s, default 2400) gates every optional
+  row; each skipped row is named on stderr. A cold XLA cache (detected via
+  the first compile) raises the per-row cost estimates so the gate errs
+  toward skipping.
+
 Runs with random weights (no checkpoints exist in this environment) — FLOPs
 and memory traffic are weight-independent, so throughput is representative.
 Diagnostics go to stderr; stdout carries only the JSON line.
 """
 
+import atexit
+import gc
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
+START = time.perf_counter()
+
+
+def _argval(flag, default):
+    if flag in sys.argv:
+        try:
+            return float(sys.argv[sys.argv.index(flag) + 1])
+        except (IndexError, ValueError):
+            pass
+    return default
+
+
+BUDGET_S = _argval("--budget-s", 2400.0)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def remaining():
+    return BUDGET_S - (time.perf_counter() - START)
+
+
+def allow(name, est_s):
+    """Budget gate for optional rows; names every skip on stderr."""
+    r = remaining()
+    if r < est_s:
+        log(f"  SKIPPED {name}: needs ~{est_s:.0f}s, {r:.0f}s of "
+            f"{BUDGET_S:.0f}s budget left")
+        return False
+    return True
+
+
+# ---- headline flush-on-exit machinery ----
+_headline = {"value": None, "note": None, "emitted": False}
+
+
+def set_headline(images_per_min, note=None):
+    _headline["value"] = images_per_min
+    _headline["note"] = note
+
+
+def emit_headline():
+    if _headline["emitted"] or _headline["value"] is None:
+        return
+    _headline["emitted"] = True
+    rec = {
+        "metric": "sd15_512x512_20step_txt2img_throughput",
+        "value": round(_headline["value"], 2),
+        "unit": "images/min/chip",
+        "vs_baseline": round(_headline["value"] / 30.0, 3),
+    }
+    if _headline["note"]:
+        rec["note"] = _headline["note"]
+    print(json.dumps(rec), flush=True)
+
+
+def _on_signal(signum, frame):
+    log(f"signal {signum} after {time.perf_counter()-START:.0f}s — flushing "
+        f"headline and exiting")
+    emit_headline()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(128 + signum)
+
+
+atexit.register(emit_headline)
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGINT, _on_signal)
 
 
 def main():
@@ -30,11 +111,12 @@ def main():
     from lightdiffusion_tpu.pipelines.sd import SDPipeline, txt2img
     from lightdiffusion_tpu.ops import layers as L
 
-    log("devices:", jax.devices())
+    log(f"devices: {jax.devices()}  budget: {BUDGET_S:.0f}s")
     t0 = time.perf_counter()
     sd = init_random(jax.random.PRNGKey(0))
     pipe = SDPipeline(sd, policy=L.BF16, clip_skip=-2)
-    log(f"init_random: {time.perf_counter()-t0:.1f}s")
+    init_s = time.perf_counter() - t0
+    log(f"init_random: {init_s:.1f}s")
 
     kwargs = dict(
         prompt="masterpiece, best quality, a cat on a mat",
@@ -42,50 +124,16 @@ def main():
         width=512, height=512, steps=20, cfg=7.0,
         sampler_name="euler_ancestral", scheduler="karras",
     )
+    batch = 4
 
-    def timed_reps(reps, batch, **kw):
-        """Per-image seconds over `reps` timed runs (after a compile run):
-        returns (mean, std) to pin down run-to-run variance."""
-        txt2img(pipe, seed=0, batch=batch, **kw)  # compile + warm
-        times = []
-        for i in range(reps):
-            t0 = time.perf_counter()
-            txt2img(pipe, seed=i + 1, batch=batch, **kw)
-            times.append((time.perf_counter() - t0) / batch)
-        return float(np.mean(times)), float(np.std(times))
-
-    # single-image latency (the <1s/image target)
-    t0 = time.perf_counter()
-    img = txt2img(pipe, seed=0, batch=1, **kwargs)
-    log(f"first image (compile+run): {time.perf_counter()-t0:.1f}s shape={img.shape}")
-    assert np.isfinite(img).all()
-    lat, lat_std = timed_reps(3, 1, **kwargs)
-    log(f"batch-1 latency: {lat*1000:.0f} ± {lat_std*1000:.0f} ms/image")
-    # interactive latency with the max gated stack (the dual-cache skip
-    # steps run the UNet at batch 1 here, so the win is larger than the
-    # throughput ratio suggests); SSIM for this config is gated in the
-    # batch-4 stack row below
-    try:
-        pipe.set_todo(4)
-        lat_s, lat_s_std = timed_reps(
-            3, 1, deepcache_interval=4, uncond_interval=2, **kwargs)
-        log(f"batch-1 latency (DC-4+ui-2+ToDo-4 max stack): "
-            f"{lat_s*1000:.0f} ± {lat_s_std*1000:.0f} ms/image "
-            f"({lat/lat_s:.2f}x)")
-    except Exception as e:
-        log(f"batch-1 stacked latency failed ({e})")
-    finally:
-        pipe.set_todo(0)
-
-    # ---- serving throughput: steady-state PIPELINED at the saturating
-    # batch (4). Programs queue on the device back-to-back; the host's
-    # dispatch + relay round-trips overlap device compute (what a serving
-    # loop actually achieves). One sync per group; several groups for
-    # variance. Falls back to per-call latency if the program fails. ----
-    def pipelined(reps, batch, groups=3, **kw):
+    # ---- headline FIRST: steady-state PIPELINED throughput at the
+    # saturating batch (4). Programs queue on the device back-to-back; the
+    # host's dispatch + relay round-trips overlap device compute (what a
+    # serving loop actually achieves). One sync per group. ----
+    def make_runner(nb, **kw):
         pos = pipe.encode_text(kw["prompt"])
         neg = pipe.encode_text(kw["negative_prompt"])
-        latent = pipe.empty_latent(kw["width"], kw["height"], batch)
+        latent = pipe.empty_latent(kw["width"], kw["height"], nb)
         skw = dict(steps=kw["steps"], cfg=kw["cfg"],
                    sampler_name=kw["sampler_name"], scheduler=kw["scheduler"])
         for opt in ("deepcache_interval", "uncond_interval", "cfg_cutoff"):
@@ -96,53 +144,107 @@ def main():
             out = pipe.sample_latent(latent, pos, neg, seed=seed, **skw)
             return pipe.decode(out)
 
+        return run
+
+    def pipelined(reps, nb, groups=3, **kw):
+        run = make_runner(nb, **kw)
+        tc = time.perf_counter()
         img = run(0)  # compile + warm
         float(np.asarray(img.ravel()[0]))
+        compile_s = time.perf_counter() - tc
         times = []
         for gi in range(groups):
             t0 = time.perf_counter()
             for i in range(reps):
                 img = run(gi * reps + i + 1)
             float(np.asarray(img.ravel()[0]))  # scalar sync (relay-safe)
-            times.append((time.perf_counter() - t0) / (reps * batch))
-        return float(np.mean(times)), float(np.std(times))
+            times.append((time.perf_counter() - t0) / (reps * nb))
+        return float(np.mean(times)), float(np.std(times)), compile_s
 
-    per_image, per_std = lat, lat_std
-    batch = 4
     try:
-        per_image, per_std = pipelined(4, batch, **kwargs)
-        log(f"batch-{batch} pipelined throughput: {per_image*1000:.0f} ± "
-            f"{per_std*1000:.0f} ms/image ({per_std/per_image*100:.1f}% rsd, "
-            f"3 groups x 4 reps)")
+        per_image, per_std, first_compile_s = pipelined(4, batch, **kwargs)
     except Exception as e:
-        log(f"batch-{batch} failed ({e}); reporting batch-1 throughput")
+        log(f"batch-{batch} pipelined failed ({e}); falling back to batch-1")
+        gc.collect()
+        t0 = time.perf_counter()
+        txt2img(pipe, seed=0, batch=1, **kwargs)  # compile + warm
+        first_compile_s = time.perf_counter() - t0
+        times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            txt2img(pipe, seed=i + 1, batch=1, **kwargs)
+            times.append(time.perf_counter() - t0)
+        per_image, per_std = float(np.mean(times)), float(np.std(times))
+        batch = 1
+    cold = first_compile_s > 45.0 or init_s > 90.0
+    log(f"batch-{batch} pipelined throughput: {per_image*1000:.0f} ± "
+        f"{per_std*1000:.0f} ms/image ({per_std/per_image*100:.1f}% rsd, "
+        f"3 groups x 4 reps; first compile {first_compile_s:.0f}s, "
+        f"cache {'COLD' if cold else 'warm'})")
     images_per_min = 60.0 / per_image
     log(f"-> {images_per_min:.1f} images/min/chip "
         f"(±{images_per_min * per_std / per_image:.1f})")
     log(f"per-UNet-step (incl. CLIP+VAE amortized): {per_image/20*1000:.1f} ms")
+    set_headline(images_per_min)
+    emit_headline()  # the one required line — everything below is opt-in
 
-    # ---- quality-gated opt-in accelerators (VERDICT r2 #1): each row
-    # prints img/min AND on-chip SSIM vs a fixed-seed baseline, flagged
-    # below the floor. Random weights; SSIM measures how much the
-    # accelerator perturbs the exact same trajectory, which is the claim
-    # each one makes. ----
+    # Per-row wall-clock estimate: one program compile + a few runs. Cold
+    # compiles through the remote helper measured 30-165s in r3.
+    row_est = 240.0 if cold else 60.0
+
+    # ---- single-image latency (the <1s/image target) ----
+    if allow("batch-1 latency", row_est):
+        txt2img(pipe, seed=0, batch=1, **kwargs)  # compile + warm
+        times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            img = txt2img(pipe, seed=i + 1, batch=1, **kwargs)
+            times.append(time.perf_counter() - t0)
+        lat, lat_std = float(np.mean(times)), float(np.std(times))
+        assert np.isfinite(np.asarray(img)).all()
+        log(f"batch-1 latency: {lat*1000:.0f} ± {lat_std*1000:.0f} ms/image")
+    else:
+        lat = None
+
+    # interactive latency with the max gated stack (the dual-cache skip
+    # steps run the UNet at batch 1 here, so the win is larger than the
+    # throughput ratio suggests); SSIM for this config is gated in the
+    # batch-4 stack row below
+    if lat is not None and allow("batch-1 max-stack latency", row_est):
+        try:
+            pipe.set_todo(4)
+            run1 = lambda seed: txt2img(  # noqa: E731
+                pipe, seed=seed, batch=1, deepcache_interval=4,
+                uncond_interval=2, **kwargs)
+            run1(0)
+            times = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                run1(i + 1)
+                times.append(time.perf_counter() - t0)
+            lat_s = float(np.mean(times))
+            log(f"batch-1 latency (DC-4+ui-2+ToDo-4 max stack): "
+                f"{lat_s*1000:.0f} ± {float(np.std(times))*1000:.0f} ms/image "
+                f"({lat/lat_s:.2f}x)")
+        except Exception as e:
+            log(f"batch-1 stacked latency failed ({e})")
+        finally:
+            pipe.set_todo(0)
+
+    # ---- quality-gated opt-in accelerators: each row prints img/min AND
+    # on-chip SSIM vs a fixed-seed baseline, flagged below the floor.
+    # Random weights; SSIM measures how much the accelerator perturbs the
+    # exact same trajectory, which is the claim each one makes. ----
     from lightdiffusion_tpu.utils.ssim import ssim
 
     SSIM_FLOOR = 0.90
     QSEED = 1234
 
     def quality_images(**kw):
-        """Fixed-seed batch-4 images for SSIM rows (separate from timing)."""
-        pos = pipe.encode_text(kw["prompt"])
-        neg = pipe.encode_text(kw["negative_prompt"])
-        latent = pipe.empty_latent(kw["width"], kw["height"], batch)
-        skw = dict(steps=kw["steps"], cfg=kw["cfg"],
-                   sampler_name=kw["sampler_name"], scheduler=kw["scheduler"])
-        for opt in ("deepcache_interval", "uncond_interval", "cfg_cutoff"):
-            if kw.get(opt):
-                skw[opt] = kw[opt]
-        out = pipe.sample_latent(latent, pos, neg, seed=QSEED, **skw)
-        return np.asarray(pipe.decode(out), np.float32)
+        """Fixed-seed batch-4 images for SSIM rows. Reuses the programs the
+        timed rows compiled (same shapes/options; seed is a runtime arg)."""
+        run = make_runner(batch, **kw)
+        return np.asarray(run(QSEED), np.float32)
 
     def ssim_row(name, imgs, ref):
         s = np.asarray(ssim(imgs, ref))
@@ -151,171 +253,130 @@ def main():
             f"quality-gate: {verdict}")
         return float(s.mean())
 
-    imgs_base = imgs_sde = None
-    try:
-        imgs_base = quality_images(**kwargs)  # 20-step euler_ancestral
-        imgs_sde = quality_images(
-            **dict(kwargs, sampler_name="dpmpp_2m_sde")
-        )  # 20-step SDE baseline for the schedule-swap rows
-    except Exception as e:
-        log(f"quality baseline failed: {e}")
+    imgs_base = None
+    if allow("quality baseline images", 30.0):
+        try:
+            imgs_base = quality_images(**kwargs)  # same program as headline
+        except Exception as e:
+            log(f"quality baseline failed: {e}")
 
-    try:
-        dc, dc_std = pipelined(3, batch, deepcache_interval=2, **kwargs)
-        log(f"DeepCache interval-2 (opt-in): {60.0/dc:.1f} img/min/chip "
-            f"({dc*1000:.0f} ± {dc_std*1000:.0f} ms/image)")
-        if imgs_base is not None:
-            ssim_row("DeepCache-2 vs 20-step baseline",
-                     quality_images(deepcache_interval=2, **kwargs), imgs_base)
-    except Exception as e:
-        log(f"deepcache bench failed: {e}")
-    try:
-        ui, ui_std = pipelined(3, batch, uncond_interval=3, **kwargs)
-        log(f"uncond_interval-3 guidance-delta cache (opt-in): "
-            f"{60.0/ui:.1f} img/min/chip ({ui*1000:.0f} ± "
-            f"{ui_std*1000:.0f} ms/image)")
-        if imgs_base is not None:
-            ssim_row("uncond_interval-3 vs 20-step baseline",
-                     quality_images(uncond_interval=3, **kwargs), imgs_base)
-    except Exception as e:
-        log(f"uncond_interval bench failed: {e}")
-    try:
-        ays_kw = dict(kwargs, scheduler="ays", steps=10,
-                      sampler_name="dpmpp_2m_sde")
-        ays, ays_std = pipelined(3, batch, **ays_kw)
-        log(f"AYS-10 dpmpp_2m_sde (arXiv 2404.14507): "
-            f"{60.0/ays:.1f} img/min/chip ({ays*1000:.0f} ± "
-            f"{ays_std*1000:.0f} ms/image)")
-        if imgs_sde is not None:
-            # AYS swaps the sigma schedule, so this measures trajectory
-            # drift vs the same sampler at 20 steps — the honest bound on
-            # the "≈20-step quality" claim with these weights
-            ssim_row("AYS-10 vs 20-step dpmpp_2m_sde",
-                     quality_images(**ays_kw), imgs_sde)
-    except Exception as e:
-        log(f"AYS bench failed: {e}")
-    try:
-        pipe.set_todo(2)
-        tdo, tdo_std = pipelined(3, batch, **kwargs)
-        log(f"ToDo-2 K/V downsampling (arXiv 2402.13573): "
-            f"{60.0/tdo:.1f} img/min/chip ({tdo*1000:.0f} ± "
-            f"{tdo_std*1000:.0f} ms/image)")
-        if imgs_base is not None:
-            ssim_row("ToDo-2 vs 20-step baseline",
-                     quality_images(**kwargs), imgs_base)
-        # trajectory-preserving stacks (scratch/stack_tune.py DC x ToDo
-        # grid + scratch/dual_tune.py DC x ui composition): recommended =
-        # DC-3+ui-2+ToDo-2; max gated = DC-4+ui-2+ToDo-4 (the dual-cache
-        # denoiser runs skip steps cond-only through the shallow blocks)
-        dcd, dcd_std = pipelined(3, batch, deepcache_interval=3,
-                                 uncond_interval=2, **kwargs)
-        log(f"DeepCache-3 + ui-2 + ToDo-2 (recommended stack): "
-            f"{60.0/dcd:.1f} img/min/chip ({dcd*1000:.0f} ± "
-            f"{dcd_std*1000:.0f} ms/image)")
-        if imgs_base is not None:
-            ssim_row("DeepCache-3+ui-2+ToDo-2 vs 20-step baseline",
-                     quality_images(deepcache_interval=3, uncond_interval=2,
-                                    **kwargs),
-                     imgs_base)
-        pipe.set_todo(4)
-        dcm, dcm_std = pipelined(3, batch, deepcache_interval=4,
-                                 uncond_interval=2, **kwargs)
-        log(f"DeepCache-4 + ui-2 + ToDo-4 (max gated stack): "
-            f"{60.0/dcm:.1f} img/min/chip ({dcm*1000:.0f} ± "
-            f"{dcm_std*1000:.0f} ms/image)")
-        if imgs_base is not None:
-            ssim_row("DeepCache-4+ui-2+ToDo-4 vs 20-step baseline",
-                     quality_images(deepcache_interval=4, uncond_interval=2,
-                                    **kwargs),
-                     imgs_base)
-    except Exception as e:
-        log(f"ToDo bench failed: {e}")
-    finally:
-        pipe.set_todo(0)
-    try:
-        pipe.set_tome(0.5)
-        tom, tom_std = pipelined(3, batch, **kwargs)
-        log(f"ToMe-0.5 (20-step euler_ancestral): {60.0/tom:.1f} img/min/chip "
-            f"({tom*1000:.0f} ± {tom_std*1000:.0f} ms/image)")
-        if imgs_base is not None:
-            ssim_row("ToMe-0.5 vs 20-step baseline",
-                     quality_images(**kwargs), imgs_base)
-    except Exception as e:
-        log(f"ToMe bench failed: {e}")
-    finally:
-        pipe.set_tome(0.0)
-    try:
-        # everything-on preset: AYS-10 + ToDo-2 + CFG truncation
-        pipe.set_todo(2)
-        stack_kw = dict(kwargs, scheduler="ays", steps=10,
-                        sampler_name="dpmpp_2m_sde", cfg_cutoff=0.7)
-        stk, stk_std = pipelined(3, batch, **stack_kw)
-        log(f"stacked opt-ins (AYS-10 + ToDo-2 + cfg_cutoff 0.7): "
-            f"{60.0/stk:.1f} img/min/chip ({stk*1000:.0f} ± "
-            f"{stk_std*1000:.0f} ms/image)")
-        if imgs_sde is not None:
-            ssim_row("stacked vs 20-step dpmpp_2m_sde",
-                     quality_images(**stack_kw), imgs_sde)
-    except Exception as e:
-        log(f"stacked bench failed: {e}")
-    finally:
-        pipe.set_todo(0)
+    def accel_row(label, est=None, todo=0, ssim_vs=None, **opts):
+        """One timed+gated accelerator row; budget-checked, program reuse
+        between the timed and SSIM runs (same cache key, different seed)."""
+        if not allow(label, row_est if est is None else est):
+            return
+        try:
+            if todo:
+                pipe.set_todo(todo)
+            m, m_std, _ = pipelined(3, batch, **dict(kwargs, **opts))
+            log(f"{label}: {60.0/m:.1f} img/min/chip "
+                f"({m*1000:.0f} ± {m_std*1000:.0f} ms/image, "
+                f"{per_image/m:.2f}x)")
+            ref = imgs_base if ssim_vs is None else ssim_vs
+            if ref is not None:
+                ssim_row(f"{label} vs 20-step baseline",
+                         quality_images(**dict(kwargs, **opts)), ref)
+        except Exception as e:
+            log(f"{label} failed: {e}")
+            gc.collect()
+        finally:
+            if todo:
+                pipe.set_todo(0)
 
-    # bf16 cross-shape contract (VERDICT r2 weak #7): the same seed in a
-    # batch-4 program (per-sample keys) must perceptually match its solo
-    # batch-1 image — automated on-chip check of the recompile-divergence
-    # tolerance claims
-    try:
-        pos = pipe.encode_text(kwargs["prompt"])
-        neg = pipe.encode_text(kwargs["negative_prompt"])
-        skw = dict(steps=kwargs["steps"], cfg=kwargs["cfg"],
-                   sampler_name=kwargs["sampler_name"],
-                   scheduler=kwargs["scheduler"])
-        solo = np.asarray(pipe.decode(pipe.sample_latent(
-            pipe.empty_latent(512, 512, 1), pos, neg, seed=[QSEED], **skw
-        )))
-        batched = np.asarray(pipe.decode(pipe.sample_latent(
-            pipe.empty_latent(512, 512, batch), pos, neg,
-            seed=[QSEED + i for i in range(batch)], **skw
-        )))
-        s = float(np.asarray(ssim(solo[0], batched[0]))[0])
-        verdict = "PASS" if s >= 0.95 else "FLAGGED(<0.95)"
-        log(f"  bf16 batch-1 vs batch-4 same-seed: ssim={s:.4f} "
-            f"cross-shape-gate: {verdict}")
-    except Exception as e:
-        log(f"cross-shape check failed: {e}")
+    accel_row("DeepCache interval-2 (opt-in)", deepcache_interval=2)
+    accel_row("uncond_interval-3 guidance-delta cache (opt-in)",
+              uncond_interval=3)
+    accel_row("ToDo-2 K/V downsampling (arXiv 2402.13573)", todo=2)
+    # trajectory-preserving stacks (scratch/stack_tune.py DC x ToDo grid +
+    # scratch/dual_tune.py DC x ui composition): recommended =
+    # DC-3+ui-2+ToDo-2; max gated = DC-4+ui-2+ToDo-4 (the dual-cache
+    # denoiser runs skip steps cond-only through the shallow blocks)
+    accel_row("DeepCache-3 + ui-2 + ToDo-2 (recommended stack)",
+              todo=2, deepcache_interval=3, uncond_interval=2)
+    accel_row("DeepCache-4 + ui-2 + ToDo-4 (max gated stack)",
+              todo=4, deepcache_interval=4, uncond_interval=2)
 
-    # int8 LAST: quantize_unet replaces the param tree in place
-    try:
-        pipe.quantize_unet()
-        i8, i8_std = pipelined(3, batch, **kwargs)
-        log(f"int8 W8A8 UNet (opt-in): {60.0/i8:.1f} img/min/chip "
-            f"({i8*1000:.0f} ± {i8_std*1000:.0f} ms/image)")
-        if imgs_base is not None:
-            ssim_row("int8 vs bf16 baseline", quality_images(**kwargs),
-                     imgs_base)
-    except Exception as e:
-        log(f"int8 bench failed: {e}")
+    # AYS swaps the sigma schedule, so it follows a DIFFERENT trajectory by
+    # design — with random weights any trajectory change decorrelates the
+    # output texture, so SSIM cannot validate the paper's trained-model
+    # claim (arXiv 2404.14507). Print the drift as information, not a gate.
+    if allow("AYS-10 rows", row_est * 2):
+        imgs_sde = None
+        try:
+            sde_kw = dict(kwargs, sampler_name="dpmpp_2m_sde")
+            imgs_sde = quality_images(**sde_kw)
+        except Exception as e:
+            log(f"20-step SDE baseline failed: {e}")
+        try:
+            ays_kw = dict(kwargs, scheduler="ays", steps=10,
+                          sampler_name="dpmpp_2m_sde")
+            ays, ays_std, _ = pipelined(3, batch, **ays_kw)
+            log(f"AYS-10 dpmpp_2m_sde (arXiv 2404.14507): "
+                f"{60.0/ays:.1f} img/min/chip ({ays*1000:.0f} ± "
+                f"{ays_std*1000:.0f} ms/image)")
+            if imgs_sde is not None:
+                s = np.asarray(ssim(quality_images(**ays_kw), imgs_sde))
+                log(f"  AYS-10 vs 20-step dpmpp_2m_sde: ssim={s.mean():.4f} "
+                    f"(schedule swap — SSIM n/a on random weights; the "
+                    f"quality claim needs trained checkpoints)")
+        except Exception as e:
+            log(f"AYS bench failed: {e}")
+            gc.collect()
+
+    # bf16 cross-shape contract: the same seed in a batch-4 program
+    # (per-sample keys) must perceptually match its solo batch-1 image —
+    # automated on-chip check of the recompile-divergence tolerance claims
+    if allow("cross-shape same-seed gate", row_est):
+        try:
+            pos = pipe.encode_text(kwargs["prompt"])
+            neg = pipe.encode_text(kwargs["negative_prompt"])
+            skw = dict(steps=kwargs["steps"], cfg=kwargs["cfg"],
+                       sampler_name=kwargs["sampler_name"],
+                       scheduler=kwargs["scheduler"])
+            solo = np.asarray(pipe.decode(pipe.sample_latent(
+                pipe.empty_latent(512, 512, 1), pos, neg, seed=[QSEED], **skw
+            )))
+            batched = np.asarray(pipe.decode(pipe.sample_latent(
+                pipe.empty_latent(512, 512, batch), pos, neg,
+                seed=[QSEED + i for i in range(batch)], **skw
+            )))
+            s = float(np.asarray(ssim(solo[0], batched[0]))[0])
+            verdict = "PASS" if s >= 0.95 else "FLAGGED(<0.95)"
+            log(f"  bf16 batch-1 vs batch-4 same-seed: ssim={s:.4f} "
+                f"cross-shape-gate: {verdict}")
+        except Exception as e:
+            log(f"cross-shape check failed: {e}")
+
+    # int8 LAST among SD1.5 rows: quantize_unet replaces the param tree
+    if allow("int8 W8A8 row", row_est):
+        try:
+            pipe.quantize_unet()
+            i8, i8_std, _ = pipelined(3, batch, **kwargs)
+            log(f"int8 W8A8 UNet (opt-in, saves HBM ~1x speed): "
+                f"{60.0/i8:.1f} img/min/chip "
+                f"({i8*1000:.0f} ± {i8_std*1000:.0f} ms/image)")
+            if imgs_base is not None:
+                ssim_row("int8 vs bf16 baseline", quality_images(**kwargs),
+                         imgs_base)
+        except Exception as e:
+            log(f"int8 bench failed: {e}")
 
     if "--no-sdxl" not in sys.argv:
-        try:
-            bench_sdxl()
-        except Exception as e:
-            log(f"SDXL bench failed: {e}")
+        sdxl_est = 1500.0 if cold else 600.0
+        if allow("SDXL section", sdxl_est):
+            try:
+                bench_sdxl(cold)
+            except Exception as e:
+                log(f"SDXL bench failed: {e}")
 
-    print(json.dumps({
-        "metric": "sd15_512x512_20step_txt2img_throughput",
-        "value": round(images_per_min, 2),
-        "unit": "images/min/chip",
-        "vs_baseline": round(images_per_min / 30.0, 3),
-    }))
+    log(f"bench done in {time.perf_counter()-START:.0f}s of "
+        f"{BUDGET_S:.0f}s budget")
 
 
-def bench_sdxl():
-    """SDXL (2.57B) on-chip rows (VERDICT r2 #2): random-init SDXL_UNET at
-    1024², 20 steps, dual-tower-shaped conds (random (1,77,2048) + pooled
-    (1,1280) → real ADM vectors), batch 1. Also int8 and ToMe-0.5 at XL
-    width — the two NOTES_ROUND2 projections that hung on this measurement."""
+def bench_sdxl(cold=False):
+    """SDXL (2.57B) on-chip rows: random-init SDXL_UNET at 1024², 20 steps,
+    dual-tower-shaped conds (random (1,77,2048) + pooled (1,1280) → real ADM
+    vectors), batch 1. Every row is budget-gated and SKIP-logged."""
     import jax
     import jax.numpy as jnp
 
@@ -324,6 +385,8 @@ def bench_sdxl():
     from lightdiffusion_tpu.ops import layers as L
     from lightdiffusion_tpu.pipelines.sd import SDPipeline
     from lightdiffusion_tpu.utils.ssim import ssim
+
+    row_est = 300.0 if cold else 90.0
 
     log("-- SDXL 1024x1024 20-step (random-init, batch 1) --")
     t0 = time.perf_counter()
@@ -361,40 +424,44 @@ def bench_sdxl():
 
     base, img_base = timed("SDXL base")
 
-    # DeepCache at XL width: the deep half (the depth-10 level-2
-    # transformers + middle) is ~80% of SDXL FLOPs, so interval-2 reuse
-    # is worth far more here than on SD1.5 topology
-    try:
-        dc, img_dc = timed("SDXL DeepCache-2", deepcache_interval=2)
-        s = float(np.asarray(ssim(img_dc, img_base)).min())
-        log(f"  SDXL DeepCache-2: {base/dc:.2f}x speedup, ssim={s:.4f} "
-            f"quality-gate: {'PASS' if s >= 0.90 else 'FLAGGED(<0.90)'}")
-        dc3, img_dc3 = timed("SDXL DeepCache-3", deepcache_interval=3)
-        s3 = float(np.asarray(ssim(img_dc3, img_base)).min())
-        log(f"  SDXL DeepCache-3: {base/dc3:.2f}x speedup, ssim={s3:.4f} "
-            f"quality-gate: {'PASS' if s3 >= 0.90 else 'FLAGGED(<0.90)'}")
-    except Exception as e:
-        log(f"  SDXL DeepCache failed ({type(e).__name__}: {e})")
-        import gc
-        gc.collect()
+    def xl_row(label, todo=0, todo_min=1024, **skw):
+        if not allow(label, row_est):
+            return None
+        try:
+            if todo:
+                pipex.set_todo(todo, min_tokens=todo_min)
+            m, img = timed(label, **skw)
+            s = float(np.asarray(ssim(img, img_base)).min())
+            log(f"  {label}: {base/m:.2f}x speedup, ssim={s:.4f} "
+                f"quality-gate: {'PASS' if s >= 0.90 else 'FLAGGED(<0.90)'}")
+            return m
+        except Exception as e:
+            log(f"  {label} failed ({type(e).__name__}: {e})")
+            gc.collect()
+            return None
+        finally:
+            if todo:
+                pipex.set_todo(0)
 
-    # guidance-delta caching at XL width (the quality-leaning alternative
-    # to DeepCache; also composes with it — see the max-stack row below)
-    try:
-        ui, img_ui = timed("SDXL uncond_interval-3", uncond_interval=3)
-        s = float(np.asarray(ssim(img_ui, img_base)).min())
-        log(f"  SDXL uncond_interval-3: {base/ui:.2f}x speedup, ssim={s:.4f} "
-            f"quality-gate: {'PASS' if s >= 0.90 else 'FLAGGED(<0.90)'}")
-    except Exception as e:
-        log(f"  SDXL uncond_interval failed ({type(e).__name__}: {e})")
-        import gc
-        gc.collect()
+    # DeepCache at XL width: the deep half (the depth-10 level-2
+    # transformers + middle) is ~80% of SDXL FLOPs, so interval reuse is
+    # worth far more here than on SD1.5 topology
+    xl_row("SDXL DeepCache-3", deepcache_interval=3)
+    # guidance-delta caching: the quality-leaning alternative to DeepCache
+    xl_row("SDXL uncond_interval-3", uncond_interval=3)
+    # XL attention mass sits at the 32² (1024-token) level, so the ToDo
+    # threshold drops to 1024 here (measured: 1.25x vs 1.09x at 4096)
+    xl_row("SDXL ToDo-4@1024", todo=4)
+    # the three XL levers stack: DeepCache reuses the deep half, ToDo thins
+    # the 32² attention in the shallow half that still runs every step, and
+    # guidance-delta caching makes skip steps cond-only at batch 1
+    xl_row("SDXL DC-4+ui-2+ToDo-4@1024 (max gated stack)", todo=4,
+           deepcache_interval=4, uncond_interval=2)
 
     # batch-4 pipelined throughput (the serving regime). CFG batch 8 fits
-    # v5e HBM for the UNet (551 ms/UNet-step measured in
-    # scratch/sdxl_profile.py) but a full-batch 1024² fp32 VAE decode does
-    # NOT (~8.6 GB conv activations) — decode per-sample, reusing the
-    # batch-1 decode program already compiled by the base row.
+    # v5e HBM for the UNet but a full-batch 1024² fp32 VAE decode does NOT
+    # (~8.6 GB conv activations) — decode per-sample, reusing the batch-1
+    # decode program already compiled by the base row.
     def bench_sdxl_batch(nb):
         condb = (jnp.tile(cond[0], (nb, 1, 1)), jnp.tile(cond[1], (nb, 1)))
         negb = (jnp.tile(neg[0], (nb, 1, 1)), jnp.tile(neg[1], (nb, 1)))
@@ -420,70 +487,24 @@ def bench_sdxl():
         log(f"  SDXL batch-{nb} pipelined: {60.0/m:.2f} img/min/chip "
             f"({m*1000:.0f} ms/image, {base/m:.2f}x batch-1)")
 
-    for nb in (2, 4):
+    if allow("SDXL batch-4 pipelined", row_est):
         try:
-            bench_sdxl_batch(nb)
+            bench_sdxl_batch(4)
         except Exception as e:
-            log(f"  SDXL batch-{nb} failed ({type(e).__name__}: {e})")
-            import gc
-            gc.collect()  # drop traceback-held device buffers before the
-            break         # next row so one OOM can't poison the rest
+            log(f"  SDXL batch-4 failed ({type(e).__name__}: {e})")
+            gc.collect()  # drop traceback-held device buffers so one OOM
+            # can't poison the next row
 
-    # XL attention mass sits at the 32^2 (1024-token) level, so the ToDo
-    # threshold drops to 1024 here (measured: 1.25x vs 1.09x at 4096)
-    pipex.set_todo(4, min_tokens=1024)
-    try:
-        tdo, img_todo = timed("SDXL ToDo-4@1024")
-        s = float(np.asarray(ssim(img_todo, img_base)).min())
-        log(f"  SDXL ToDo-4@1024: {base/tdo:.2f}x speedup, ssim={s:.4f}")
-    except Exception as e:
-        log(f"  SDXL ToDo failed ({type(e).__name__}: {e})")
-        import gc
-        gc.collect()
-    finally:
-        pipex.set_todo(0)
-    # the three XL levers stack: DeepCache reuses the deep half, ToDo thins
-    # the 32^2 attention in the shallow half that still runs every step,
-    # and guidance-delta caching makes skip steps cond-only at batch 1
-    # (the dual-cache denoiser; scratch/sdxl_dual_row.py sweep)
-    pipex.set_todo(4, min_tokens=1024)
-    try:
-        stk, img_stk = timed("SDXL DC-3+ToDo-4@1024", deepcache_interval=3)
-        s = float(np.asarray(ssim(img_stk, img_base)).min())
-        log(f"  SDXL DC-3+ToDo-4@1024 stack: {base/stk:.2f}x speedup, "
-            f"ssim={s:.4f} quality-gate: "
-            f"{'PASS' if s >= 0.90 else 'FLAGGED(<0.90)'}")
-        stk2, img_stk2 = timed("SDXL DC-4+ui-2+ToDo-4@1024",
-                               deepcache_interval=4, uncond_interval=2)
-        s2 = float(np.asarray(ssim(img_stk2, img_base)).min())
-        log(f"  SDXL DC-4+ui-2+ToDo-4@1024 (max gated stack): "
-            f"{base/stk2:.2f}x speedup, ssim={s2:.4f} quality-gate: "
-            f"{'PASS' if s2 >= 0.90 else 'FLAGGED(<0.90)'}")
-    except Exception as e:
-        log(f"  SDXL stack failed ({type(e).__name__}: {e})")
-        import gc
-        gc.collect()
-    finally:
-        pipex.set_todo(0)
-    pipex.set_tome(0.5)
-    try:
-        tom, img_tome = timed("SDXL ToMe-0.5")
-        s = float(np.asarray(ssim(img_tome, img_base)).min())
-        log(f"  SDXL ToMe-0.5: {base/tom:.2f}x speedup, ssim={s:.4f}")
-    except Exception as e:
-        log(f"  SDXL ToMe failed ({type(e).__name__}: {e})")
-        import gc
-        gc.collect()
-    finally:
-        pipex.set_tome(0.0)
-    try:
-        pipex.quantize_unet()
-        i8, img_i8 = timed("SDXL int8 W8A8")
-        s = float(np.asarray(ssim(img_i8, img_base)).min())
-        log(f"  SDXL int8: {base/i8:.2f}x speedup, ssim={s:.4f} "
-            f"(verdict: {'keep' if base/i8 >= 1.1 else 'placebo at XL too — gate it'})")
-    except Exception as e:
-        log(f"  SDXL int8 failed ({type(e).__name__}: {e})")
+    if allow("SDXL int8 row", row_est):
+        try:
+            pipex.quantize_unet()
+            i8, img_i8 = timed("SDXL int8 W8A8")
+            s = float(np.asarray(ssim(img_i8, img_base)).min())
+            log(f"  SDXL int8: {base/i8:.2f}x speedup, ssim={s:.4f} "
+                f"(saves HBM; measured a slowdown at XL width — opt-in "
+                f"for memory only)")
+        except Exception as e:
+            log(f"  SDXL int8 failed ({type(e).__name__}: {e})")
 
 
 if __name__ == "__main__":

@@ -96,13 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--int8", action="store_true",
                    help="quantize the UNet to W8A8 after LoRA merge "
                         "(int8 MXU path, ops/quant.py)")
-    t.add_argument("--tome", type=float, default=0.0, metavar="RATIO",
-                   help="ToMe self-attention token merging ratio (e.g. 0.5; "
-                        "deprecated — ToDo is faster at every measured size)")
     t.add_argument("--todo", type=int, default=None, metavar="FACTOR",
                    help="ToDo K/V token downsampling factor (e.g. 2; arXiv "
-                        "2402.13573 — faster than ToMe at every size, "
-                        "slight quality trade)")
+                        "2402.13573 — slight quality trade; superseded the "
+                        "removed ToMe, see MIGRATION.md)")
     t.add_argument("--cfg-cutoff", type=float, default=None, metavar="FRAC",
                    help="run CFG only for the first FRAC of steps (e.g. 0.6),"
                         " cond-only after — ~1.2-1.4x, slight quality trade")
@@ -318,8 +315,6 @@ def main(argv=None):
         args.todo = args.todo or 0
         if args.int8:
             pipe.quantize_unet()
-        if args.tome:
-            pipe.set_tome(args.tome)
         if args.todo:
             pipe.set_todo(args.todo)
         if args.freeu:

@@ -117,7 +117,6 @@ class GenerationController:
         progress_cb=None,  # fn(done, total)
         random_init: bool = False,
         int8: bool = False,
-        tome: bool = False,  # ToMe 0.5 (ops/tome.py)
         todo: bool = False,  # ToDo factor 2 (arXiv 2402.13573)
         freeu: bool = False,  # FreeU paper defaults (models/unet.py)
         deepcache: bool = False,  # DeepCache interval 2 (chunked-capable)
@@ -136,7 +135,7 @@ class GenerationController:
             return self._generate_locked(
                 prompt, neg, width, height, cfg, seed, steps, sampler_name,
                 scheduler, hires_fix, adetailer, enhance, preview_cb,
-                progress_cb, random_init, int8, tome, todo, freeu,
+                progress_cb, random_init, int8, todo, freeu,
                 deepcache, guidance_cache, checkpoint, lora,
             )
         finally:
@@ -145,7 +144,7 @@ class GenerationController:
     def _generate_locked(self, prompt, neg, width, height, cfg, seed, steps,
                          sampler_name, scheduler, hires_fix, adetailer,
                          enhance, preview_cb, progress_cb, random_init,
-                         int8=False, tome=False, todo=False,
+                         int8=False, todo=False,
                          freeu=False, deepcache=False, guidance_cache=False,
                          checkpoint=_KEEP, lora=_KEEP):
         from ..models.taesd import latent_to_rgb_preview
@@ -157,8 +156,6 @@ class GenerationController:
         ckpt = self.current_checkpoint if checkpoint is _KEEP else checkpoint
         lra = self.current_lora if lora is _KEEP else lora
         pipe = self.prep(ckpt, lra, random_init=random_init, int8=int8)
-        if tome != (pipe.sd.unet_config.tome_ratio > 0):
-            pipe.set_tome(0.5 if tome else 0.0)
         if todo != (pipe.sd.unet_config.todo_factor > 1):
             pipe.set_todo(2 if todo else 0)
         if freeu != bool(pipe.sd.unet_config.freeu):
@@ -306,7 +303,6 @@ def main():  # pragma: no cover - needs a display
     enh_var = tk.BooleanVar()
     prev_var = tk.BooleanVar(value=True)
     int8_var = tk.BooleanVar()  # the ref's Stable-Fast accel slot (:10184)
-    tome_var = tk.BooleanVar()
     todo_var = tk.BooleanVar()
     freeu_var = tk.BooleanVar()
     deepcache_var = tk.BooleanVar()
@@ -317,7 +313,6 @@ def main():  # pragma: no cover - needs a display
     for label, var in [("Hires Fix", hires_var), ("Adetailer", adet_var),
                        ("Prompt enhancer", enh_var), ("Previewer", prev_var),
                        ("Int8 (saves HBM, ~1x speed)", int8_var),
-                       ("ToMe (deprecated: ToDo is faster)", tome_var),
                        ("ToDo (1.3x at 512, 1.7x hires)", todo_var),
                        ("DeepCache accelerator", deepcache_var),
                        ("Guidance cache (1.2x, quality-leaning)", gcache_var),
@@ -366,7 +361,7 @@ def main():  # pragma: no cover - needs a display
         opts = dict(
             hires_fix=hires_var.get(), adetailer=adet_var.get(),
             enhance=enh_var.get(), int8=int8_var.get(),
-            tome=tome_var.get(), todo=todo_var.get(),
+            todo=todo_var.get(),
             freeu=freeu_var.get(),
             deepcache=deepcache_var.get(),
             guidance_cache=gcache_var.get(),

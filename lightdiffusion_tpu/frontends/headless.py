@@ -96,31 +96,45 @@ def pipeline(
     if enhance:
         prompt = enhance_prompt(prompt)
     deepcache_interval = uncond_interval = 0
+    prior_todo = None
     if preset is not None:
         from ..presets import PRESETS
 
+        if preset not in PRESETS:
+            raise ValueError(
+                f"unknown preset {preset!r}; valid presets: "
+                f"{sorted(PRESETS)}"
+            )
         deepcache_interval, todo, uncond_interval = PRESETS[preset]
-        if todo:
-            pipe.set_todo(todo)
-    imgs = txt2img(
-        pipe,
-        prompt,
-        DEFAULT_NEGATIVE,
-        width=w,
-        height=h,
-        steps=40,
-        cfg=7.0,
-        seed=seed,
-        sampler_name="dpm_adaptive",
-        scheduler="karras",
-        batch=number,
-        hires_fix=True,
-        hires_steps=10,
-        hires_denoise=0.45,
-        hires_cfg=8.0,
-        deepcache_interval=deepcache_interval,
-        uncond_interval=uncond_interval,
-    )
+        # set unconditionally (factor 0 disables) and restore after: a
+        # caller-supplied pipe must not keep this run's ToDo factor
+        # (ADVICE r3 — a later preset=None run would silently inherit it)
+        prior_todo = (pipe.sd.unet_config.todo_factor,
+                      pipe.sd.unet_config.todo_min_tokens)
+        pipe.set_todo(todo)
+    try:
+        imgs = txt2img(
+            pipe,
+            prompt,
+            DEFAULT_NEGATIVE,
+            width=w,
+            height=h,
+            steps=40,
+            cfg=7.0,
+            seed=seed,
+            sampler_name="dpm_adaptive",
+            scheduler="karras",
+            batch=number,
+            hires_fix=True,
+            hires_steps=10,
+            hires_denoise=0.45,
+            hires_cfg=8.0,
+            deepcache_interval=deepcache_interval,
+            uncond_interval=uncond_interval,
+        )
+    finally:
+        if prior_todo is not None:
+            pipe.set_todo(*prior_todo)
     if save:
         SaveImage().save_images(imgs, "LD-HiRes")
     return imgs

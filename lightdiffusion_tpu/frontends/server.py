@@ -35,6 +35,9 @@ Endpoints:
   POST /txt2img  {"prompt": ..., "negative_prompt", "width", "height",
                   "steps", "cfg", "seed", "sampler", "scheduler",
                   "hires_fix", "hires_steps", "hires_denoise", "hires_cfg",
+                  "preset": "fast"|"max"|"quality" (measured accelerator
+                  stacks, presets.py — explicit "deepcache"/
+                  "uncond_interval"/"todo" fields override, CLI rules),
                   "format": "png"|"json"} → image/png bytes or JSON meta.
                   hires_fix reproduces the reference's default headless
                   output (bislerp x2 + euler_ancestral/normal partial
@@ -101,8 +104,34 @@ _ALLOWED = {
     "prompt", "negative_prompt", "width", "height", "steps", "cfg", "seed",
     "sampler", "scheduler", "format", "control_image", "control_strength",
     "cfg_cutoff", "hires_fix", "hires_steps", "hires_denoise", "hires_cfg",
-    "adetailer", "deepcache", "uncond_interval",
+    "adetailer", "deepcache", "uncond_interval", "todo", "preset",
 }
+
+
+def _resolve_preset(params: dict) -> dict:
+    """Fill accelerator knobs the request didn't pass from ``preset``
+    ("fast" | "max" | "quality"; presets.PRESETS) — the same override rules
+    as the CLI (frontends/cli.py apply_preset): explicit fields win,
+    including explicit zeros, and passing either of deepcache/
+    uncond_interval explicitly suppresses the preset's other knob."""
+    preset = params.get("preset")
+    if preset is None:
+        return params
+    from ..presets import PRESETS
+
+    if preset not in PRESETS:
+        raise ValueError(
+            f"unknown preset {preset!r}; valid presets: {sorted(PRESETS)}"
+        )
+    dc, todo, ui = PRESETS[preset]
+    params = dict(params)
+    del params["preset"]
+    if "deepcache" not in params and "uncond_interval" not in params:
+        params["deepcache"] = dc
+        params["uncond_interval"] = ui
+    if "todo" not in params:
+        params["todo"] = todo
+    return params
 
 def _fixed_step_sampler(name: str) -> bool:
     """True when the sampler has a fixed-step single-eval scan body
@@ -121,7 +150,7 @@ _ALLOWED_IMG2IMG = {
     "init_image", "prompt", "negative_prompt", "upscale_by", "steps", "cfg",
     "denoise", "seed", "sampler", "scheduler", "mode_type", "seam_fix_mode",
     "seam_fix_denoise", "tile_width", "tile_height", "mask_blur", "padding",
-    "deepcache", "uncond_interval", "format",
+    "deepcache", "uncond_interval", "todo", "preset", "format",
 }
 
 
@@ -151,7 +180,8 @@ class _Request:
         return ("txt2img", p["width"], p["height"], p["steps"], p["sampler"],
                 p["scheduler"], p["control_image"] is not None,
                 p["cfg_cutoff"]) + hires + (
-                p["adetailer"], p["deepcache"], p["uncond_interval"])
+                p["adetailer"], p["deepcache"], p["uncond_interval"],
+                p["todo"])
 
 
 class GenerationServer:
@@ -265,6 +295,7 @@ class GenerationServer:
         unknown = set(params) - _ALLOWED
         if unknown:
             raise ValueError(f"unknown fields: {sorted(unknown)}")
+        params = _resolve_preset(params)
         p = {
             "prompt": str(params.get("prompt", "")),
             "negative_prompt": str(params.get("negative_prompt", "")),
@@ -298,6 +329,9 @@ class GenerationServer:
             # guidance-delta caching (0 = off): the uncond CFG branch runs
             # every N steps, skip steps are cond-only at half UNet batch
             "uncond_interval": int(params.get("uncond_interval", 0)),
+            # ToDo K/V downsampling factor (0 = off): config-level, applied
+            # per batch group by the worker (joins the compile key)
+            "todo": int(params.get("todo", 0)),
         }
         if p["adetailer"] and self.detectors is None:
             raise ValueError(
@@ -333,6 +367,8 @@ class GenerationServer:
                 raise ValueError(
                     "deepcache does not combine with control_image"
                 )
+        if p["todo"] and not (2 <= p["todo"] <= 8):
+            raise ValueError("todo factor must be in [2, 8]")
         if p["uncond_interval"]:
             # composes with deepcache (pipelines/sd.py dual-cache denoiser)
             if not (2 <= p["uncond_interval"] <= 10):
@@ -373,6 +409,7 @@ class GenerationServer:
         unknown = set(params) - _ALLOWED_IMG2IMG
         if unknown:
             raise ValueError(f"unknown fields: {sorted(unknown)}")
+        params = _resolve_preset(params)
         if params.get("init_image") is None:
             raise ValueError("img2img needs init_image (base64 PNG)")
         import base64
@@ -399,6 +436,7 @@ class GenerationServer:
             "padding": int(params.get("padding", 32)),
             "deepcache": int(params.get("deepcache", 0)),
             "uncond_interval": int(params.get("uncond_interval", 0)),
+            "todo": int(params.get("todo", 0)),
             "format": str(params.get("format", "png")),
         }
         if not (1.0 <= p["upscale_by"] <= 4.0):
@@ -425,6 +463,8 @@ class GenerationServer:
                 raise ValueError(
                     f"{knob} needs a fixed-step sampler, not {p['sampler']!r}"
                 )
+        if p["todo"] and not (2 <= p["todo"] <= 8):
+            raise ValueError("todo factor must be in [2, 8]")
         return p
 
     def _run_img2img(self, req: _Request) -> np.ndarray:
@@ -496,6 +536,13 @@ class GenerationServer:
                 pipe = self.pipe
                 b = len(group)
                 p0 = group[0].params
+                # ToDo is a config-level knob: apply per batch group on the
+                # worker (it owns the pipeline). Program keys include the
+                # unet_config, so toggling between groups reuses the traced
+                # programs rather than recompiling.
+                todo = p0.get("todo", 0)
+                if pipe.sd.unet_config.todo_factor != todo:
+                    pipe.set_todo(todo)
                 if group[0].kind == "img2img":
                     canvas = self._run_img2img(group[0])
                     with self._stats_lock:

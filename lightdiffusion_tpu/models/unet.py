@@ -46,15 +46,11 @@ class UNetConfig:
     adm_in_channels: int = 0  # SDXL: 2816 (pooled text + size embeddings)
     dropout: float = 0.0
     attn_force: str | None = None  # attention backend override for tests
-    # ToMe (arXiv 2303.17604, ops/tome.py): merge this fraction of src
-    # tokens before SELF-attention at levels with ≥ tome_min_tokens tokens
-    # (0 = off). Opt-in accelerator absent in the reference.
-    tome_ratio: float = 0.0
-    tome_min_tokens: int = 4096
     # ToDo (arXiv 2402.13573): spatially avg-pool the self-attention K/V by
     # this factor at levels with ≥ todo_min_tokens tokens (0 = off; queries
     # and the output token set stay full-resolution, so there is no
-    # merge/unmerge overhead — the TPU-friendly alternative to ToMe).
+    # merge/unmerge overhead). Superseded ToMe (removed round 4: measured
+    # slower than ToDo at every size/topology — NOTES_ROUND3, MIGRATION.md).
     todo_factor: int = 0
     todo_min_tokens: int = 4096
     # FreeU (arXiv 2309.11497): (b1, b2, s1, s2) — backbone amplification +
@@ -163,32 +159,19 @@ def cross_attention_apply(p, x, context, num_heads, policy, force=None):
 
 
 def transformer_block_apply(p, x, context, num_heads, policy, force=None,
-                            tome_hw=None, tome_ratio=0.0, todo_factor=0):
-    """``tome_hw``/``tome_ratio``: when set, self-attention runs on the
-    ToMe-merged token set and unmerges after (ops/tome.py).
-    ``todo_factor``: Token Downsampling (arXiv 2402.13573) — self-attention
-    K/V are spatially avg-pooled by this factor (queries stay full-res, so
-    no unmerge pass exists; takes precedence over ToMe when both are set)."""
+                            spatial_hw=None, todo_factor=0):
+    """``todo_factor``: Token Downsampling (arXiv 2402.13573) — self-attention
+    K/V are spatially avg-pooled by this factor over the ``spatial_hw``
+    token grid (queries stay full-res, so no unmerge pass exists)."""
     x_norm = L.layer_norm(p["ln1"], x, policy=policy)
-    if todo_factor > 1 and tome_hw is not None:
-        h, w = tome_hw
+    if todo_factor > 1 and spatial_hw is not None:
+        h, w = spatial_hw
         b, s, c = x_norm.shape
         f = todo_factor
         kv = x_norm.reshape(b, h // f, f, w // f, f, c).mean((2, 4))
         kv = kv.reshape(b, (h // f) * (w // f), c)
         x = x + cross_attention_apply(
             p["attn1"], x_norm, kv, num_heads, policy, force
-        )
-    elif tome_ratio > 0.0 and tome_hw is not None:
-        from ..ops.tome import merge_and_unmerge
-
-        merged, unmerge = merge_and_unmerge(
-            x_norm, tome_hw[0], tome_hw[1], tome_ratio
-        )
-        x = x + unmerge(
-            cross_attention_apply(
-                p["attn1"], merged, merged, num_heads, policy, force
-            )
         )
     else:
         x = x + cross_attention_apply(
@@ -204,14 +187,12 @@ def transformer_block_apply(p, x, context, num_heads, policy, force=None,
 
 
 def spatial_transformer_apply(p, x, context, num_heads, policy, force=None,
-                              tome_ratio=0.0, tome_min_tokens=4096,
                               todo_factor=0, todo_min_tokens=4096):
     """GN → proj in → (B,HW,C) blocks → proj out → +residual (ref :4165-4262).
     Projections are 1×1 convs (SD1.x) or linears (SD2.x,
     use_linear_in_transformer) — distinguished by the weight rank.
-    ``tome_ratio``: ToMe self-attention token merging at levels with
-    ≥ tome_min_tokens tokens (ops/tome.py). ``todo_factor``: ToDo K/V
-    downsampling at levels with ≥ todo_min_tokens tokens (arXiv 2402.13573)."""
+    ``todo_factor``: ToDo K/V downsampling at levels with
+    ≥ todo_min_tokens tokens (arXiv 2402.13573)."""
     b, h, w, c = x.shape
     residual = x
     x = L.group_norm(p["norm"], x, eps=1e-6, policy=policy)
@@ -229,15 +210,10 @@ def spatial_transformer_apply(p, x, context, num_heads, policy, force=None,
             and h % todo_factor == 0 and w % todo_factor == 0)
         else 0
     )
-    tome_hw = (
-        (h, w)
-        if ((tome_ratio > 0.0 and h * w >= tome_min_tokens) or todo)
-        else None
-    )
+    spatial_hw = (h, w) if todo else None
     for blk in p["blocks"]:
         x = transformer_block_apply(blk, x, context, num_heads, policy, force,
-                                    tome_hw=tome_hw, tome_ratio=tome_ratio,
-                                    todo_factor=todo)
+                                    spatial_hw=spatial_hw, todo_factor=todo)
     if linear_proj:
         x = L.linear(p["proj_out"], x, policy)
         x = x.reshape(b, h, w, c)
@@ -309,8 +285,6 @@ def _block_apply(spec: BlockSpec, p, h, emb, context, cfg, policy):
         h = spatial_transformer_apply(
             p["attn"], h, context, cfg.heads_for(spec.ch_out), policy,
             cfg.attn_force,
-            tome_ratio=cfg.tome_ratio,
-            tome_min_tokens=cfg.tome_min_tokens,
             todo_factor=cfg.todo_factor,
             todo_min_tokens=cfg.todo_min_tokens,
         )
@@ -365,8 +339,6 @@ def apply_unet(
     h = spatial_transformer_apply(
         params["middle"]["attn"], h, context, cfg.heads_for(mid_ch), policy,
         cfg.attn_force,
-        tome_ratio=cfg.tome_ratio,
-        tome_min_tokens=cfg.tome_min_tokens,
         todo_factor=cfg.todo_factor,
         todo_min_tokens=cfg.todo_min_tokens,
     )
@@ -384,8 +356,6 @@ def apply_unet(
             h = spatial_transformer_apply(
                 p["attn"], h, context, cfg.heads_for(spec.ch_out), policy,
                 cfg.attn_force,
-                tome_ratio=cfg.tome_ratio,
-                tome_min_tokens=cfg.tome_min_tokens,
                 todo_factor=cfg.todo_factor,
                 todo_min_tokens=cfg.todo_min_tokens,
             )
@@ -469,8 +439,6 @@ def apply_unet_cached(
         h = spatial_transformer_apply(
             params["middle"]["attn"], h, context, cfg.heads_for(mid_ch),
             policy, cfg.attn_force,
-            tome_ratio=cfg.tome_ratio,
-            tome_min_tokens=cfg.tome_min_tokens,
             todo_factor=cfg.todo_factor,
             todo_min_tokens=cfg.todo_min_tokens,
         )
@@ -485,8 +453,6 @@ def apply_unet_cached(
                 h = spatial_transformer_apply(
                     p["attn"], h, context, cfg.heads_for(spec.ch_out), policy,
                     cfg.attn_force,
-                    tome_ratio=cfg.tome_ratio,
-                    tome_min_tokens=cfg.tome_min_tokens,
                     todo_factor=cfg.todo_factor,
                     todo_min_tokens=cfg.todo_min_tokens,
                 )
@@ -508,8 +474,6 @@ def apply_unet_cached(
             h = spatial_transformer_apply(
                 p["attn"], h, context, cfg.heads_for(spec.ch_out), policy,
                 cfg.attn_force,
-                tome_ratio=cfg.tome_ratio,
-                tome_min_tokens=cfg.tome_min_tokens,
                 todo_factor=cfg.todo_factor,
                 todo_min_tokens=cfg.todo_min_tokens,
             )

@@ -305,26 +305,25 @@ class SDPipeline:
             self._programs.popitem(last=False)
 
     def set_tome(self, ratio: float, min_tokens: int = 4096):
-        """Enable/disable ToMe self-attention token merging (ops/tome.py,
-        arXiv 2303.17604) for every subsequent program. Opt-in accelerator
-        absent in the reference; biggest wins at hires/SDXL token counts."""
-        self.sd.unet_config = dataclasses.replace(
-            self.sd.unet_config, tome_ratio=ratio, tome_min_tokens=min_tokens
+        """Removed round 4: ToMe measured strictly slower than ToDo at every
+        size/topology (NOTES_ROUND3; MIGRATION.md has the table)."""
+        raise RuntimeError(
+            "ToMe was removed: superseded by ToDo, which is faster at every "
+            "measured size (use set_todo(2) / set_todo(4); see MIGRATION.md)"
         )
-        self._programs.clear()
-        return self
 
     def set_todo(self, factor: int, min_tokens: int = 4096):
         """Enable/disable ToDo K/V token downsampling (arXiv 2402.13573) for
         every subsequent program: self-attention keys/values are spatially
         avg-pooled by ``factor`` at levels with ≥ min_tokens tokens while
-        queries stay full-resolution — no merge/unmerge overhead, so unlike
-        ToMe it wins even at 512² token counts. Opt-in accelerator absent
-        in the reference; takes precedence over ToMe when both are set."""
+        queries stay full-resolution — no merge/unmerge overhead, so it
+        wins even at 512² token counts. Opt-in accelerator absent
+        in the reference."""
         self.sd.unet_config = dataclasses.replace(
             self.sd.unet_config, todo_factor=factor, todo_min_tokens=min_tokens
         )
-        self._programs.clear()
+        # no cache clear: program keys include the unet_config, so toggling
+        # ToDo per serving group reuses previously traced programs
         return self
 
     def set_freeu(self, b1: float | None = 1.5, b2: float = 1.6,
@@ -336,7 +335,7 @@ class SDPipeline:
             self.sd.unet_config,
             freeu=() if b1 is None else (b1, b2, s1, s2),
         )
-        self._programs.clear()
+        # no cache clear needed: program keys include the unet_config
         return self
 
     def quantize_unet(self, quantize_convs: bool = True):
@@ -402,7 +401,8 @@ class SDPipeline:
         """One jitted program: noise-scale → sampler scan → final latent.
         ``step_offset``: absolute index of the window's first sigma in the
         unsliced schedule (Brownian/suffix-noise semantics, ref :9025-9041)."""
-        key = ("sample", cfg_key, sigmas_bytes, step_offset)
+        key = ("sample", cfg_key, sigmas_bytes, step_offset,
+               self.sd.unet_config)
         if key in self._programs:
             self._programs.move_to_end(key)
             return self._programs[key]
@@ -827,7 +827,7 @@ class SDPipeline:
         noise-key offset for suffix windows (indices stay phase-relative so
         multistep order gates and the DeepCache cadence match a monolithic
         run of the phase)."""
-        key = ("chunk", cfg_key, chunk_len, step_offset)
+        key = ("chunk", cfg_key, chunk_len, step_offset, self.sd.unet_config)
         if key in self._programs:
             self._programs.move_to_end(key)
             return self._programs[key]
@@ -938,7 +938,8 @@ class SDPipeline:
         while_loop by ≤seg_iters solver iterations per call (samplers.
         dpm_adaptive_segment) — host polls interrupts/previews between calls,
         mirroring the reference's in-loop interrupt_flag check (:1076)."""
-        key = ("adaptive_chunk", cfg_key, sigmas_bytes, seg_iters)
+        key = ("adaptive_chunk", cfg_key, sigmas_bytes, seg_iters,
+               self.sd.unet_config)
         if key in self._programs:
             self._programs.move_to_end(key)
             return self._programs[key]
@@ -959,12 +960,27 @@ class SDPipeline:
         def with_denoiser(fn):
             @jax.jit
             def prog(unet_params, cond, uncond, cfg_scale, carry, key,
-                     y_cond=None, y_uncond=None):
+                     y_cond=None, y_uncond=None, mask=None,
+                     latent_orig=None, noise0=None):
                 denoise_fn = make_cfg_denoiser(
                     unet_apply_y if cfg_key.has_y else unet_apply,
                     unet_params, cond, uncond, cfg_scale, ms,
                     y_cond=y_cond, y_uncond=y_uncond,
                 )
+                if cfg_key.masked:
+                    from ..diffusion.inpaint import (
+                        differential_diffusion_mask_fn,
+                        make_masked_denoiser,
+                    )
+
+                    mask_fn = (
+                        differential_diffusion_mask_fn(ms)
+                        if cfg_key.differential_diffusion
+                        else None
+                    )
+                    denoise_fn = make_masked_denoiser(
+                        denoise_fn, latent_orig, noise0, mask, mask_fn
+                    )
                 _, run, finish = S.dpm_adaptive_segment(
                     denoise_fn, sigmas, key=key, seg_iters=seg_iters,
                     **dict(cfg_key.options),
@@ -980,20 +996,45 @@ class SDPipeline:
 
     def _sample_adaptive_chunked(self, latent, cond, uncond, seed, steps, cfg,
                                  scheduler, denoise, chunk_size, on_chunk,
-                                 y_cond=None, y_uncond=None, options=()):
+                                 y_cond=None, y_uncond=None, options=(),
+                                 noise_mask=None,
+                                 differential_diffusion=False):
         """``options``: sorted item tuple of dpm_adaptive sampler options
         (eta/s_noise/pcoeff/icoeff/dcoeff/rtol/atol...) — forwarded into the
         bounded segments so the interruptible path carries the same SDE/PID
-        variants as the monolithic sampler (ref signature :1118-1140)."""
+        variants as the monolithic sampler (ref signature :1118-1140).
+
+        ``noise_mask`` (+``differential_diffusion``): inpaint-style masked
+        denoise via make_masked_denoiser — the same wrapper the monolithic
+        program uses, so a masked dpm_adaptive run is interruptible too
+        (the reference polls inside its adaptive loop unconditionally,
+        :1076; mask semantics :2629). ``seed`` may be a sequence of
+        per-sample seeds (serving semantics, as in sample_latent)."""
         import math as _math
 
         from ..diffusion import samplers as S
+        from ..diffusion.noise import keys_for
 
         ms = self.sd.model_sampling
         sigmas = SMP.sigmas_for(ms, scheduler, steps, denoise)
         if sigmas.shape[0] <= 1:
             return latent
-        noise = prepare_noise(latent.astype(jnp.float32), seed)
+        per_sample = not isinstance(seed, (int, np.integer))
+        if per_sample:
+            seeds = [int(s) for s in seed]
+            if len(seeds) != latent.shape[0]:
+                raise ValueError(
+                    f"{len(seeds)} seeds for batch {latent.shape[0]}"
+                )
+            noise = jnp.concatenate(
+                [
+                    prepare_noise(latent[i : i + 1].astype(jnp.float32), s)
+                    for i, s in enumerate(seeds)
+                ],
+                axis=0,
+            )
+        else:
+            noise = prepare_noise(latent.astype(jnp.float32), seed)
         max_denoise = _math.isclose(
             float(sigmas[0]), float(ms.sigma_max), rel_tol=1e-3
         ) or float(sigmas[0]) > float(ms.sigma_max)
@@ -1003,6 +1044,10 @@ class SDPipeline:
         cfg_key = SampleConfig(
             steps, "dpm_adaptive", scheduler, denoise, False,
             cond.shape[1], uncond.shape[1], has_y=y_cond is not None,
+            masked=noise_mask is not None,
+            differential_diffusion=(
+                differential_diffusion and noise_mask is not None
+            ),
             options=tuple(options),
         )
         # ≥3 UNet evals per solver iteration; chunk_size counts UNet steps
@@ -1014,12 +1059,18 @@ class SDPipeline:
                                             seg_iters=seg_iters)
         carry = init(x)
         max_steps = 200
-        rng = jax.random.PRNGKey(seed)
+        rng = keys_for(seeds if per_sample else seed)
         args = (self.sd.unet_params, cond, uncond, jnp.float32(cfg))
         kwargs = (
             {} if y_cond is None
             else {"y_cond": y_cond, "y_uncond": y_uncond}
         )
+        if noise_mask is not None:
+            kwargs.update(
+                mask=noise_mask,
+                latent_orig=latent.astype(jnp.float32),
+                noise0=noise.astype(jnp.float32),
+            )
         while True:
             carry, done = run_prog(*args, carry, rng, **kwargs)
             n_iter = int(carry[6])
@@ -1081,7 +1132,8 @@ class SDPipeline:
             return self._sample_adaptive_chunked(
                 latent, cond, uncond, seed, steps, cfg, scheduler,
                 denoise, chunk_size, on_chunk, y_cond, y_uncond,
-                options=opts,
+                options=opts, noise_mask=noise_mask,
+                differential_diffusion=differential_diffusion,
             )
         no_stepper = make_stepper(
             sampler_name, lambda x, s: x, jax.random.PRNGKey(0)

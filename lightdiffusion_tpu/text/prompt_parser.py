@@ -7,7 +7,10 @@ Behavioral parity targets (/root/reference/LightDiffusion.py):
 
 Grammar (A1111/ComfyUI style):
   ``(text)``       → weight ×1.1 on text (recursively)
-  ``(text:1.25)``  → weight 1.25 on text (overrides the ×1.1)
+  ``(text:1.25)``  → weight 1.25 on text — ABSOLUTE: an explicit weight
+                     replaces the ambient weight rather than multiplying it
+                     (ref :4770-4776), so ``(a (b:2.0))`` gives b weight 2.0
+                     and ``((x:1.5):2.0)`` gives x weight 1.5
   ``\\(`` ``\\)``  → literal parens
 Unbalanced parens are treated as literal text of the current segment.
 """
@@ -64,7 +67,9 @@ def token_weights(string: str, current_weight: float = 1.0) -> list[tuple[str, f
             weight *= 1.1
             if xx > 0:
                 try:
-                    weight = float(x[xx + 1:]) * current_weight
+                    # explicit weights are ABSOLUTE (ref :4770-4776): they
+                    # replace the ambient weight, not scale it
+                    weight = float(x[xx + 1:])
                     x = x[:xx]
                 except ValueError:
                     pass

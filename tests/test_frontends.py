@@ -202,8 +202,8 @@ def test_generation_controller_headless(monkeypatch):
     assert out is None
 
 
-def test_generation_controller_tome_freeu_toggles():
-    """generate(tome=/freeu=) flips the pipeline accelerators per run."""
+def test_generation_controller_todo_freeu_toggles():
+    """generate(todo=/freeu=) flips the pipeline accelerators per run."""
     import jax
     from tests.test_pipeline import TINY_UNET, TINY_VAE, TINY_CLIP
     from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
@@ -224,13 +224,13 @@ def test_generation_controller_tome_freeu_toggles():
     ctl.pipe = SDPipeline(sd, policy=L.FP32)
     ctl.current_checkpoint = "x"
     imgs = ctl.generate("a cat", "", 32, 32, 7.0, steps=2,
-                        sampler_name="euler_ancestral", tome=True, freeu=True)
+                        sampler_name="euler_ancestral", todo=True, freeu=True)
     assert imgs is not None and imgs.shape == (1, 32, 32, 3)
-    assert ctl.pipe.sd.unet_config.tome_ratio == 0.5
+    assert ctl.pipe.sd.unet_config.todo_factor == 2
     assert ctl.pipe.sd.unet_config.freeu != ()
     ctl.generate("a cat", "", 32, 32, 7.0, steps=2,
                  sampler_name="euler_ancestral")
-    assert ctl.pipe.sd.unet_config.tome_ratio == 0.0
+    assert ctl.pipe.sd.unet_config.todo_factor == 0
     assert ctl.pipe.sd.unet_config.freeu == ()
 
 
@@ -476,17 +476,27 @@ def test_headless_pipeline_preset(monkeypatch):
     from lightdiffusion_tpu.frontends import headless
     from lightdiffusion_tpu.presets import PRESETS
 
+    import types
+
     class FakePipe:
         def __init__(self):
-            self.todo = None
+            self.todo_calls = []
+            self.sd = types.SimpleNamespace(
+                unet_config=types.SimpleNamespace(
+                    todo_factor=0, todo_min_tokens=4096
+                )
+            )
 
         def set_todo(self, factor, min_tokens=4096):
-            self.todo = factor
+            self.todo_calls.append(factor)
+            self.sd.unet_config.todo_factor = factor
+            self.sd.unet_config.todo_min_tokens = min_tokens
 
     seen = {}
 
     def fake_txt2img(pipe, prompt, negative, **kwargs):
         seen.update(kwargs)
+        seen["todo_during_run"] = pipe.sd.unet_config.todo_factor
         return np.zeros((1, 8, 8, 3), np.float32)
 
     monkeypatch.setattr(headless, "txt2img", fake_txt2img)
@@ -494,17 +504,28 @@ def test_headless_pipeline_preset(monkeypatch):
     headless.pipeline("cat", 64, 64, pipe=pipe, enhance=False, save=False,
                       preset="fast")
     dc, todo, ui = PRESETS["fast"]
-    assert pipe.todo == todo
+    assert seen["todo_during_run"] == todo
     assert seen["deepcache_interval"] == dc
     assert seen["uncond_interval"] == ui
     assert seen["hires_fix"] is True and seen["steps"] == 40
+    # the preset's ToDo is RESTORED after the run (ADVICE r3): a caller-
+    # supplied pipe must not keep this run's factor
+    assert pipe.sd.unet_config.todo_factor == 0
+    assert pipe.todo_calls == [todo, 0]
 
     # no preset -> accelerators off, pipe untouched
     pipe2 = FakePipe()
     seen.clear()
     headless.pipeline("cat", 64, 64, pipe=pipe2, enhance=False, save=False)
-    assert pipe2.todo is None
+    assert pipe2.todo_calls == []
     assert seen["deepcache_interval"] == 0 and seen["uncond_interval"] == 0
+
+    # unknown preset names are a clear client error (ADVICE r3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="valid presets"):
+        headless.pipeline("cat", 64, 64, pipe=FakePipe(), enhance=False,
+                          save=False, preset="warp")
 
 
 def test_txt2img_adaptive_downgrades_stateful_accel(monkeypatch):

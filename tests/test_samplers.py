@@ -187,6 +187,48 @@ def test_brownian_sampler_contract():
     )
 
 
+def test_brownian_substitute_contract_pinned():
+    """Pins exactly what the quantized-interval hashed-noise substitute for
+    torchsde Brownian trees (diffusion/noise.py:61-110; ref :857-905)
+    guarantees — and what it deliberately does NOT (VERDICT r3 #8a).
+
+    HOLDS: (1) same (seed, interval) → identical noise regardless of call
+    order or what was drawn before; (2) disjoint intervals → independent
+    draws; (3) interval endpoints are matched in quantized log-sigma space,
+    so float jitter below ~1e-4 relative does not change the noise.
+
+    DOES NOT HOLD: the Brownian sum property W(a,c) ≈ combine(W(a,b),
+    W(b,c)). An adaptive SDE run that splits a step draws fresh unrelated
+    noise for the sub-intervals. Documented in the class docstring; this
+    test keeps the limitation pinned rather than implied."""
+    from lightdiffusion_tpu.diffusion.noise import BrownianTreeNoiseSampler
+
+    x = jnp.zeros((1, 8, 8, 4))
+    s = BrownianTreeNoiseSampler(x, seed=11)
+    # (1) call-order independence: draw b first, a second — a is identical
+    # to a fresh sampler's first draw of the same interval
+    _ = s(5.0, 2.0)
+    a_after = np.asarray(s(10.0, 5.0))
+    a_fresh = np.asarray(BrownianTreeNoiseSampler(x, seed=11)(10.0, 5.0))
+    np.testing.assert_array_equal(a_after, a_fresh)
+    # (3) quantization tolerance: sub-1e-4-relative endpoint jitter maps to
+    # the same quantized log-sigma cell → identical noise
+    jit = np.asarray(BrownianTreeNoiseSampler(x, seed=11)(
+        10.0 * (1 + 2e-6), 5.0 * (1 - 2e-6)))
+    np.testing.assert_array_equal(jit, a_fresh)
+    # ...while a real interval change draws different noise
+    other = np.asarray(BrownianTreeNoiseSampler(x, seed=11)(10.0, 5.01))
+    assert np.abs(other - a_fresh).max() > 1e-3
+    # (NOT) no sum property: W(10,2) is unrelated to any combination of
+    # W(10,5) and W(5,2) — the summed/rescaled composite decorrelates
+    w_ac = np.asarray(BrownianTreeNoiseSampler(x, seed=11)(10.0, 2.0))
+    w_ab = a_fresh
+    w_bc = np.asarray(BrownianTreeNoiseSampler(x, seed=11)(5.0, 2.0))
+    composite = (w_ab + w_bc) / np.sqrt(2.0)
+    corr = np.corrcoef(w_ac.ravel(), composite.ravel())[0, 1]
+    assert abs(corr) < 0.2, corr  # independent, NOT Brownian-consistent
+
+
 # ------------------------- partial-denoise window noise semantics ----------
 # Reference contract: ksampler2 seeds the Brownian sampler with the TOTAL
 # sigmas (LightDiffusion.py:9025-9041) so a separated_sample window (:9113)

@@ -424,6 +424,86 @@ def test_server_uncond_interval_requests(pipe):
         gen.shutdown()
 
 
+def test_server_preset_field(pipe):
+    """`preset` resolves through presets.PRESETS with the CLI's override
+    rules (VERDICT r3 #5): the normalized request carries the preset's
+    deepcache/uncond_interval/todo; explicit fields win (including zeros,
+    and either of deepcache/uncond_interval suppresses the preset's other
+    knob); same-preset requests co-batch; unknown names are client errors."""
+    from lightdiffusion_tpu.presets import PRESETS
+
+    gen = GenerationServer(pipe, max_batch=4, max_wait_ms=300.0)
+    try:
+        # normalization matches the CLI preset's accelerator config
+        p = gen._normalize({"prompt": "x", "preset": "max"})
+        dc, todo, ui = PRESETS["max"]
+        assert (p["deepcache"], p["todo"], p["uncond_interval"]) == \
+            (dc, todo, ui)
+        # explicit deepcache suppresses BOTH of the preset's dc/ui knobs
+        p = gen._normalize({"prompt": "x", "preset": "max", "deepcache": 0})
+        assert (p["deepcache"], p["uncond_interval"]) == (0, 0)
+        assert p["todo"] == todo  # todo still comes from the preset
+        # explicit todo=0 overrides the preset's todo
+        p = gen._normalize({"prompt": "x", "preset": "fast", "todo": 0})
+        assert p["todo"] == 0
+        assert p["deepcache"] == PRESETS["fast"][0]
+        with pytest.raises(ValueError, match="valid presets"):
+            gen._normalize({"prompt": "x", "preset": "warp"})
+
+        # two preset-"max" requests co-batch (same group key) and generate
+        results = {}
+
+        def fire(i):
+            results[i] = gen.submit({
+                "prompt": "a cat", "width": 64, "height": 64, "steps": 4,
+                "seed": i, "preset": "max",
+            })
+
+        threads = [threading.Thread(target=fire, args=(i,)) for i in (0, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(results[i].shape == (64, 64, 3) for i in (0, 1))
+        assert all(np.isfinite(results[i]).all() for i in (0, 1))
+        assert gen.stats()["batched_requests"] >= 2
+        # the worker applied the preset's config-level ToDo for the group
+        assert pipe.sd.unet_config.todo_factor == todo
+        # a preset-less request resets it
+        gen.submit({"prompt": "a cat", "width": 64, "height": 64,
+                    "steps": 2})
+        assert pipe.sd.unet_config.todo_factor == 0
+    finally:
+        gen.shutdown()
+
+
+def test_server_img2img_preset_field(pipe):
+    """/img2img accepts `preset` too, resolved with the same rules."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    buf = io.BytesIO()
+    Image.fromarray((rng.rand(96, 96, 3) * 255).astype(np.uint8)).save(
+        buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    gen = GenerationServer(pipe, max_wait_ms=5.0)
+    try:
+        from lightdiffusion_tpu.presets import PRESETS
+
+        params = {"init_image": b64, "prompt": "x", "preset": "quality"}
+        p = gen._normalize_img2img(params)
+        dc, todo, ui = PRESETS["quality"]
+        assert (p["deepcache"], p["todo"], p["uncond_interval"]) == \
+            (dc, todo, ui)
+        with pytest.raises(ValueError, match="valid presets"):
+            gen._normalize_img2img(dict(params, preset="nope"))
+    finally:
+        gen.shutdown()
+
+
 def test_http_endpoints(pipe):
     httpd = make_server(pipe, port=0, max_wait_ms=5.0)
     port = httpd.server_address[1]

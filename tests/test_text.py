@@ -31,10 +31,83 @@ def test_token_weights_explicit_overrides_paren():
     assert out == [("x", 1.5)]
 
 
-def test_nested_explicit_multiplies_outer():
+def test_nested_explicit_weight_is_absolute():
+    """Explicit ``(x:w)`` weights REPLACE the ambient weight (ref
+    :4770-4776) — the innermost explicit weight wins outright."""
     out = dict(token_weights("((x:1.5):2.0)"))
-    # outer sets 2.0, inner 1.5 multiplied by current 2.0 → 3.0
-    assert abs(out["x"] - 3.0) < 1e-6
+    assert abs(out["x"] - 1.5) < 1e-6
+    out = dict(token_weights("(a (b:2.0))"))
+    assert abs(out["b"] - 2.0) < 1e-6  # NOT 2.2 (= 2.0 * 1.1)
+    assert abs(out["a "] - 1.1) < 1e-6
+
+
+def _ref_token_weights(string, current_weight=1.0):
+    """Independent reimplementation of the reference's weighting semantics
+    (ref :4762-4781) for property comparison: recursive descent over the
+    raw string, ×1.1 per paren level, explicit ``:w`` absolute."""
+    out = []
+    i, text = 0, ""
+    while i < len(string):
+        ch = string[i]
+        if ch == "(":
+            # find the matching close paren
+            depth, j = 1, i + 1
+            while j < len(string) and depth:
+                depth += string[j] == "("
+                depth -= string[j] == ")"
+                j += 1
+            if depth:  # unbalanced: literal
+                text += string[i:]
+                i = len(string)
+                break
+            if text:
+                out.append((text, current_weight))
+                text = ""
+            inner = string[i + 1 : j - 1]
+            w = current_weight * 1.1
+            xx = inner.rfind(":")
+            if xx > 0:
+                try:
+                    w = float(inner[xx + 1 :])
+                    inner = inner[:xx]
+                except ValueError:
+                    pass
+            out += _ref_token_weights(inner, w)
+            i = j
+        else:
+            text += ch
+            i += 1
+    if text:
+        out.append((text, current_weight))
+    return out
+
+
+def test_token_weights_property_vs_independent_impl():
+    """Property-compare the char-loop parser against an independently
+    structured recursive-descent implementation of the same grammar on a
+    nested-weight corpus (VERDICT r3 #3 done-criterion)."""
+    corpus = [
+        "plain text",
+        "a (b) c",
+        "a ((b)) (c:2.0)",
+        "((x:1.5):2.0)",
+        "(a (b:2.0))",
+        "(a:0.5) ((b:1.2) c)",
+        "((a (b:2.0) c):0.8)",
+        "(((deep)))",
+        "(a:1.5",          # unbalanced open
+        "a) b",            # unbalanced close
+        "(a:b)",           # non-float weight
+        "(x:-1.0)",
+        "one (two (three:3.0) four) five",
+    ]
+    for prompt in corpus:
+        got = token_weights(prompt)
+        want = _ref_token_weights(prompt)
+        assert len(got) == len(want), (prompt, got, want)
+        for (gt, gw), (wt, ww) in zip(got, want):
+            assert gt == wt, (prompt, got, want)
+            assert abs(gw - ww) < 1e-9, (prompt, got, want)
 
 
 def test_escapes():

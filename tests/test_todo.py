@@ -2,9 +2,9 @@
 avg-pooled, queries full-resolution.
 
 Opt-in accelerator absent in the reference (whose attention cost is paid in
-full by xformers, /root/reference/LightDiffusion.py:3942-3992). Unlike ToMe
-there is no matching/unmerge machinery, so the only moving part to test is
-the pooled-KV attention path itself.
+full by xformers, /root/reference/LightDiffusion.py:3942-3992). There is no
+matching/unmerge machinery, so the only moving part to test is the pooled-KV
+attention path itself.
 """
 
 import dataclasses
@@ -37,7 +37,7 @@ def test_uniform_tokens_exact():
     ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 77, 64), jnp.float32)
     base = U.transformer_block_apply(blk, x, ctx, 2, L.FP32, force="xla")
     todo = U.transformer_block_apply(blk, x, ctx, 2, L.FP32, force="xla",
-                                     tome_hw=(8, 8), todo_factor=2)
+                                     spatial_hw=(8, 8), todo_factor=2)
     np.testing.assert_allclose(np.asarray(todo), np.asarray(base),
                                rtol=1e-5, atol=1e-5)
 
@@ -74,18 +74,14 @@ def test_todo_skips_non_divisible_and_small_levels():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
 
 
-def test_todo_takes_precedence_over_tome():
-    cfg = _tiny_cfg()
-    params = U.init_unet_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
-    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4), jnp.float32)
-    t = jnp.full((1,), 500.0, jnp.float32)
-    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 77, 64), jnp.float32)
-    cfg_todo = dataclasses.replace(cfg, todo_factor=2, todo_min_tokens=256)
-    cfg_both = dataclasses.replace(cfg_todo, tome_ratio=0.5,
-                                   tome_min_tokens=256)
-    out_todo = U.apply_unet(params, x, t, ctx, cfg=cfg_todo, policy=L.FP32)
-    out_both = U.apply_unet(params, x, t, ctx, cfg=cfg_both, policy=L.FP32)
-    np.testing.assert_array_equal(np.asarray(out_both), np.asarray(out_todo))
+def test_set_tome_raises_superseded():
+    """ToMe was removed round 4 (superseded by ToDo — MIGRATION.md): the old
+    entry point stays as a clear error, not a silent no-op."""
+    import pytest
+    from tests.test_quant import _tiny_pipe
+
+    with pytest.raises(RuntimeError, match="ToDo"):
+        _tiny_pipe().set_tome(0.5)
 
 
 def test_pipeline_set_todo():
