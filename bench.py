@@ -362,7 +362,10 @@ def main():
             log(f"int8 bench failed: {e}")
 
     if "--no-sdxl" not in sys.argv:
-        sdxl_est = 1500.0 if cold else 600.0
+        # gate only on init + the base row here — every further XL row
+        # checks the budget itself, so a partially-affordable section still
+        # yields base numbers instead of skipping wholesale
+        sdxl_est = 500.0 if cold else 250.0
         if allow("SDXL section", sdxl_est):
             try:
                 bench_sdxl(cold)

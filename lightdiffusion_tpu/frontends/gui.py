@@ -123,6 +123,8 @@ class GenerationController:
         guidance_cache: bool = False,  # uncond_interval 2 (quality-leaning
         # alternative to DeepCache; checking both composes them — skip
         # steps run shallow cond-only, pipelines/sd.py dual-cache denoiser)
+        preset: str | None = None,  # fast|max|quality: the measured stacks
+        # (presets.py) — overrides the individual accelerator toggles
         checkpoint=_KEEP,  # explicit selection; _KEEP = current
         lora=_KEEP,
     ) -> np.ndarray | None:
@@ -136,7 +138,7 @@ class GenerationController:
                 prompt, neg, width, height, cfg, seed, steps, sampler_name,
                 scheduler, hires_fix, adetailer, enhance, preview_cb,
                 progress_cb, random_init, int8, todo, freeu,
-                deepcache, guidance_cache, checkpoint, lora,
+                deepcache, guidance_cache, preset, checkpoint, lora,
             )
         finally:
             self._run_lock.release()
@@ -146,7 +148,7 @@ class GenerationController:
                          enhance, preview_cb, progress_cb, random_init,
                          int8=False, todo=False,
                          freeu=False, deepcache=False, guidance_cache=False,
-                         checkpoint=_KEEP, lora=_KEEP):
+                         preset=None, checkpoint=_KEEP, lora=_KEEP):
         from ..models.taesd import latent_to_rgb_preview
 
         self.interrupt_flag = False  # the reference forgets this (:10794)
@@ -156,8 +158,20 @@ class GenerationController:
         ckpt = self.current_checkpoint if checkpoint is _KEEP else checkpoint
         lra = self.current_lora if lora is _KEEP else lora
         pipe = self.prep(ckpt, lra, random_init=random_init, int8=int8)
-        if todo != (pipe.sd.unet_config.todo_factor > 1):
-            pipe.set_todo(2 if todo else 0)
+        dc = 2 if deepcache else 0
+        ui = 2 if guidance_cache else 0  # composes with DeepCache (sd.py)
+        todo_f = 2 if todo else 0
+        if preset:
+            from ..presets import PRESETS
+
+            if preset not in PRESETS:
+                raise ValueError(
+                    f"unknown preset {preset!r}; valid presets: "
+                    f"{sorted(PRESETS)}"
+                )
+            dc, todo_f, ui = PRESETS[preset]
+        if todo_f != pipe.sd.unet_config.todo_factor:
+            pipe.set_todo(todo_f)
         if freeu != bool(pipe.sd.unet_config.freeu):
             pipe.set_freeu() if freeu else pipe.set_freeu(None)
         if enhance:
@@ -187,8 +201,6 @@ class GenerationController:
         positive = pipe.encode_text(prompt)
         negative = pipe.encode_text(neg)
         latent = pipe.empty_latent(width, height, 1)
-        dc = 2 if deepcache else 0
-        ui = 2 if guidance_cache else 0  # composes with DeepCache (sd.py)
         latent = pipe.sample_latent_chunked(
             latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
             sampler_name=sampler_name, scheduler=scheduler, chunk_size=5,
@@ -318,6 +330,12 @@ def main():  # pragma: no cover - needs a display
                        ("Guidance cache (1.2x, quality-leaning)", gcache_var),
                        ("FreeU quality", freeu_var)]:
         tk.Checkbutton(side, text=label, variable=var).pack(anchor="w")
+    # measured preset stacks (presets.py; same table as CLI --preset and
+    # the server's per-request "preset"); overrides the toggles above
+    preset_var = tk.StringVar(value="none")
+    tk.Label(side, text="Preset (overrides toggles)").pack(anchor="w")
+    tk.OptionMenu(side, preset_var, "none", "fast", "max", "quality").pack(
+        fill="x")
 
     display = tk.Label(root, bg="#202020")
     display.pack(side="right", expand=True, fill="both")
@@ -365,6 +383,7 @@ def main():  # pragma: no cover - needs a display
             freeu=freeu_var.get(),
             deepcache=deepcache_var.get(),
             guidance_cache=gcache_var.get(),
+            preset=None if preset_var.get() == "none" else preset_var.get(),
         )
         do_preview = prev_var.get()
 

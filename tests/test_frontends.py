@@ -273,6 +273,24 @@ def test_generation_controller_guidance_cache_toggle():
                  sampler_name="euler_ancestral", guidance_cache=True,
                  deepcache=True)
     assert seen[-1] == (2, 2)
+    # the preset dropdown overrides the toggles with the measured stack
+    from lightdiffusion_tpu.presets import PRESETS
+
+    dc, todo, ui = PRESETS["max"]
+    imgs = ctl.generate("a cat", "", 32, 32, 7.0, steps=4,
+                        sampler_name="euler_ancestral", deepcache=True,
+                        preset="max")
+    assert imgs is not None and seen[-1] == (dc, ui)
+    assert ctl.pipe.sd.unet_config.todo_factor == todo
+    # back to no preset/toggles: ToDo resets
+    ctl.generate("a cat", "", 32, 32, 7.0, steps=4,
+                 sampler_name="euler_ancestral")
+    assert seen[-1] == (0, 0)
+    assert ctl.pipe.sd.unet_config.todo_factor == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="valid presets"):
+        ctl.generate("a cat", "", 32, 32, 7.0, steps=4, preset="warp")
 
 
 def test_generation_controller_int8_toggle(monkeypatch):
