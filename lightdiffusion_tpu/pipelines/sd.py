@@ -236,6 +236,41 @@ def _make_dual_cache_cfg_denoiser(ms, unet_cfg, policy, unet_params, cond,
     return denoise
 
 
+def _make_control_apply(cn_cfg, unet_cfg, policy, cn_params, hint, strength):
+    """Per-step ControlNet residuals feeding the UNet call
+    (models/controlnet.py; arXiv 2302.05543). Applied to both CFG halves
+    (the hint broadcasts over the 2·B batch). Shared by the monolithic,
+    chunked, and adaptive-segment programs so every sampling path carries
+    the same control semantics."""
+    from ..models import controlnet as CN
+
+    def wrapped(params, x, t, ctx, y=None):
+        b = x.shape[0]
+        # hint is (1,...) (shared) or (B,...) (per-sample); the CFG
+        # batch is [cond‖uncond] = [x;x], so tiling matches halves
+        reps = b // hint.shape[0]
+        hb = jnp.tile(hint, (reps, 1, 1, 1)) if reps > 1 else hint
+        # the control encoder sees only the latent channels — for 9ch
+        # inpaint models x carries extra concat channels the 4ch
+        # ControlNet conv_in must not receive
+        x_cn = x[..., : cn_cfg.in_channels]
+        outs, mid = CN.apply_controlnet(
+            cn_params, x_cn, hb, t, ctx,
+            y=y if cn_cfg.adm_in_channels else None,
+            cfg=cn_cfg, policy=policy,
+        )
+        s = strength.astype(mid.dtype)
+        if s.ndim:  # per-sample strengths (the serving frontend)
+            sreps = b // s.shape[0]
+            s = jnp.tile(s, (sreps,)) if sreps > 1 else s
+            s = s.reshape(s.shape + (1, 1, 1))
+        control = (tuple(o * s for o in outs), mid * s)
+        return U.apply_unet(params, x, t, ctx, y=y, cfg=unet_cfg,
+                            policy=policy, control=control)
+
+    return wrapped
+
+
 class SDPipeline:
     def __init__(
         self,
@@ -303,6 +338,33 @@ class SDPipeline:
         self._programs[key] = program
         while len(self._programs) > self._programs_max:
             self._programs.popitem(last=False)
+
+    def _control_cfg_key(self, control):
+        """Static ControlNet encoder config for SampleConfig. Mesh programs
+        pin the XLA attention path (Pallas doesn't partition under GSPMD,
+        see __init__)."""
+        if control is None:
+            return None
+        cfg = control[1]
+        if self.mesh is not None:
+            cfg = dataclasses.replace(cfg, attn_force="xla")
+        return cfg
+
+    def _control_kwargs(self, control):
+        """Dynamic ControlNet program arguments (params tree, prepared
+        hint, per-sample strengths) from a (cn_params, cn_cfg, hint,
+        strength) tuple."""
+        if control is None:
+            return {}
+        cn_params, _, hint, strength = control
+        hint = jnp.asarray(hint, jnp.float32)
+        if hint.ndim == 3:
+            hint = hint[None]
+        return dict(
+            cn_params=cn_params,
+            hint=hint.astype(self.policy.compute_dtype),
+            ctrl_strength=jnp.asarray(strength, jnp.float32),
+        )
 
     def set_tome(self, ratio: float, min_tokens: int = 4096):
         """Removed round 4: ToMe measured strictly slower than ToDo at every
@@ -423,50 +485,16 @@ class SDPipeline:
             return U.apply_unet(params, x, t, ctx, y=y, cfg=unet_cfg,
                                 policy=policy)
 
-        def wrap_control(base_apply, cn_params, hint, strength):
-            """Per-step ControlNet residuals feeding the UNet call
-            (models/controlnet.py; arXiv 2302.05543). Applied to both CFG
-            halves (the hint broadcasts over the 2·B batch)."""
-            from ..models import controlnet as CN
-
-            cn_cfg = cfg_key.control_cfg
-
-            def wrapped(params, x, t, ctx, y=None):
-                b = x.shape[0]
-                # hint is (1,...) (shared) or (B,...) (per-sample); the CFG
-                # batch is [cond‖uncond] = [x;x], so tiling matches halves
-                reps = b // hint.shape[0]
-                hb = (
-                    jnp.tile(hint, (reps, 1, 1, 1)) if reps > 1 else hint
-                )
-                # the control encoder sees only the latent channels — for
-                # 9ch inpaint models x carries extra concat channels the
-                # 4ch ControlNet conv_in must not receive
-                x_cn = x[..., : cn_cfg.in_channels]
-                outs, mid = CN.apply_controlnet(
-                    cn_params, x_cn, hb, t, ctx,
-                    y=y if cn_cfg.adm_in_channels else None,
-                    cfg=cn_cfg, policy=policy,
-                )
-                s = strength.astype(mid.dtype)
-                if s.ndim:  # per-sample strengths (the serving frontend)
-                    sreps = b // s.shape[0]
-                    s = jnp.tile(s, (sreps,)) if sreps > 1 else s
-                    s = s.reshape(s.shape + (1, 1, 1))
-                control = (tuple(o * s for o in outs), mid * s)
-                return U.apply_unet(params, x, t, ctx, y=y, cfg=unet_cfg,
-                                    policy=policy, control=control)
-
-            return wrapped
-
         @jax.jit
         def program(unet_params, noise, latent, cond, uncond, cfg_scale, key,
                     mask=None, y_cond=None, y_uncond=None, cn_params=None,
                     hint=None, ctrl_strength=None, concat_cond=None):
             base_apply = unet_apply_y if cfg_key.has_y else unet_apply
             if cfg_key.control_cfg is not None:
-                base_apply = wrap_control(base_apply, cn_params, hint,
-                                          ctrl_strength)
+                base_apply = _make_control_apply(
+                    cfg_key.control_cfg, unet_cfg, policy, cn_params, hint,
+                    ctrl_strength,
+                )
             if cfg_key.uncond_free:
                 from ..diffusion.cfg import make_denoiser_single
 
@@ -650,12 +678,7 @@ class SDPipeline:
             ),
             has_y=y_cond is not None,
             uncond_free=_uncond_free,
-            control_cfg=(
-                # mesh programs pin the XLA attention path (see __init__)
-                dataclasses.replace(control[1], attn_force="xla")
-                if control is not None and self.mesh is not None
-                else control[1] if control is not None else None
-            ),
+            control_cfg=self._control_cfg_key(control),
             has_concat=concat_cond is not None,
             options=tuple(sorted((sampler_options or {}).items())),
         )
@@ -698,14 +721,7 @@ class SDPipeline:
         if y_cond is not None:
             kwargs["y_cond"] = y_cond
             kwargs["y_uncond"] = y_uncond
-        if control is not None:
-            cn_params, _, hint, strength = control
-            hint = jnp.asarray(hint, jnp.float32)
-            if hint.ndim == 3:
-                hint = hint[None]
-            kwargs["cn_params"] = cn_params
-            kwargs["hint"] = hint.astype(self.policy.compute_dtype)
-            kwargs["ctrl_strength"] = jnp.asarray(strength, jnp.float32)
+        kwargs.update(self._control_kwargs(control))
         if concat_cond is not None:
             kwargs["concat_cond"] = jnp.asarray(concat_cond, jnp.float32)
         return program(*args, **kwargs)
@@ -851,8 +867,14 @@ class SDPipeline:
         @jax.jit
         def program(unet_params, x, aux, cond, uncond, cfg_scale, key,
                     indices, sig_lo, sig_hi, state=(), mask=None,
-                    latent_orig=None, noise0=None, y_cond=None, y_uncond=None):
+                    latent_orig=None, noise0=None, y_cond=None, y_uncond=None,
+                    cn_params=None, hint=None, ctrl_strength=None):
             base_apply = unet_apply_y if cfg_key.has_y else unet_apply
+            if cfg_key.control_cfg is not None:
+                base_apply = _make_control_apply(
+                    cfg_key.control_cfg, unet_cfg, policy, cn_params, hint,
+                    ctrl_strength,
+                )
             if cfg_key.deepcache > 1 or cfg_key.uncond_interval > 1:
                 if cfg_key.deepcache > 1 and cfg_key.uncond_interval > 1:
                     denoise_fn = _make_dual_cache_cfg_denoiser(
@@ -961,9 +983,16 @@ class SDPipeline:
             @jax.jit
             def prog(unet_params, cond, uncond, cfg_scale, carry, key,
                      y_cond=None, y_uncond=None, mask=None,
-                     latent_orig=None, noise0=None):
+                     latent_orig=None, noise0=None, cn_params=None,
+                     hint=None, ctrl_strength=None):
+                base_apply = unet_apply_y if cfg_key.has_y else unet_apply
+                if cfg_key.control_cfg is not None:
+                    base_apply = _make_control_apply(
+                        cfg_key.control_cfg, unet_cfg, policy, cn_params,
+                        hint, ctrl_strength,
+                    )
                 denoise_fn = make_cfg_denoiser(
-                    unet_apply_y if cfg_key.has_y else unet_apply,
+                    base_apply,
                     unet_params, cond, uncond, cfg_scale, ms,
                     y_cond=y_cond, y_uncond=y_uncond,
                 )
@@ -998,7 +1027,8 @@ class SDPipeline:
                                  scheduler, denoise, chunk_size, on_chunk,
                                  y_cond=None, y_uncond=None, options=(),
                                  noise_mask=None,
-                                 differential_diffusion=False):
+                                 differential_diffusion=False,
+                                 control=None):
         """``options``: sorted item tuple of dpm_adaptive sampler options
         (eta/s_noise/pcoeff/icoeff/dcoeff/rtol/atol...) — forwarded into the
         bounded segments so the interruptible path carries the same SDE/PID
@@ -1048,6 +1078,7 @@ class SDPipeline:
             differential_diffusion=(
                 differential_diffusion and noise_mask is not None
             ),
+            control_cfg=self._control_cfg_key(control),
             options=tuple(options),
         )
         # ≥3 UNet evals per solver iteration; chunk_size counts UNet steps
@@ -1071,6 +1102,7 @@ class SDPipeline:
                 latent_orig=latent.astype(jnp.float32),
                 noise0=noise.astype(jnp.float32),
             )
+        kwargs.update(self._control_kwargs(control))
         while True:
             carry, done = run_prog(*args, carry, rng, **kwargs)
             n_iter = int(carry[6])
@@ -1101,12 +1133,16 @@ class SDPipeline:
         noise_mask: jnp.ndarray | None = None,
         differential_diffusion: bool = False,
         sampler_options: dict | None = None,
+        control=None,  # (cn_params, cn_cfg, hint, strength) — ControlNet
     ):
         """Interruptible sampling: compiled scans over chunks of steps, host
         polling between chunks (reference interrupt_flag/preview parity,
         LightDiffusion.py:922/:937; SURVEY §7). dpm_adaptive runs as bounded
         while_loop segments (ref polls inside its adaptive loop too, :1076).
-        SDXL ADM vectors thread through every chunk program.
+        SDXL ADM vectors thread through every chunk program. ``control``:
+        per-step ControlNet residuals (as in sample_latent) — interruptible
+        control-guided runs, including dpm_adaptive; the cached accelerators
+        are silently disabled for control runs (as in the monolithic path).
 
         Carries the monolithic path's features so the GUI/interruptible
         frontend reaches the same accelerators and masked flows:
@@ -1134,6 +1170,7 @@ class SDPipeline:
                 denoise, chunk_size, on_chunk, y_cond, y_uncond,
                 options=opts, noise_mask=noise_mask,
                 differential_diffusion=differential_diffusion,
+                control=control,
             )
         no_stepper = make_stepper(
             sampler_name, lambda x, s: x, jax.random.PRNGKey(0)
@@ -1145,7 +1182,7 @@ class SDPipeline:
                 denoise=denoise, deepcache_interval=deepcache_interval,
                 cfg_cutoff=cfg_cutoff, noise_mask=noise_mask,
                 differential_diffusion=differential_diffusion,
-                sampler_options=sampler_options,
+                sampler_options=sampler_options, control=control,
             )
         import math as _math
 
@@ -1173,8 +1210,12 @@ class SDPipeline:
                     "sample_latent)"
                 )
             k = max(1, min(n - 1, round(steps * cfg_cutoff)))
-        dc = deepcache_interval if deepcache_interval > 1 else 0
-        us = uncond_interval if uncond_interval > 1 else 0
+        # cached accelerators are disabled for control runs (the control
+        # residuals feed the deep blocks apply_unet_cached doesn't carry),
+        # matching the monolithic path's silent downgrade
+        dc = deepcache_interval if deepcache_interval > 1 and control is None \
+            else 0
+        us = uncond_interval if uncond_interval > 1 and control is None else 0
         mask_kwargs = {}
         if noise_mask is not None:
             mask = jnp.asarray(noise_mask, jnp.float32)
@@ -1220,6 +1261,7 @@ class SDPipeline:
                 uncond_interval=0 if in_tail else us,
                 has_y=y_cond is not None,
                 uncond_free=in_tail,
+                control_cfg=self._control_cfg_key(control),
                 options=opts,
             )
             program = self._chunk_program(cfg_key, m, step_offset=phase_start)
@@ -1231,7 +1273,7 @@ class SDPipeline:
             x, aux, state_out = program(
                 self.sd.unet_params, x, aux, cond, uncond, jnp.float32(cfg),
                 rng, idx, lo, hi, state if stateful else (),
-                **mask_kwargs, **y_kwargs,
+                **mask_kwargs, **y_kwargs, **self._control_kwargs(control),
             )
             if stateful:
                 state = state_out

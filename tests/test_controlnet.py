@@ -228,6 +228,66 @@ def test_pipeline_sample_with_controlnet():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_chunked_controlnet_matches_monolithic():
+    """Control-guided sampling through the interruptible paths (closes the
+    last VERDICT r3 'missing #3' cell): the chunked fixed-step scan AND the
+    segmented dpm_adaptive both carry per-step ControlNet residuals and
+    match their monolithic programs."""
+    from tests.test_quant import _tiny_pipe
+
+    pipe = _tiny_pipe()
+    cn = CN.init_controlnet_params(jax.random.PRNGKey(1), TINY)
+    cn["middle_out"]["weight"] = (
+        jax.random.normal(jax.random.PRNGKey(2),
+                          cn["middle_out"]["weight"].shape) * 0.05
+    )
+    pos = pipe.encode_text("a cat")
+    neg = pipe.encode_text("")
+    latent = pipe.empty_latent(64, 64, 1)
+    hint = jax.random.uniform(jax.random.PRNGKey(5), (1, 256, 256, 3))
+    control = (cn, TINY, hint, 1.0)
+    for sampler in ("euler_ancestral", "dpm_adaptive"):
+        kw = dict(seed=3, steps=4, cfg=7.0, sampler_name=sampler)
+        full = pipe.sample_latent(latent, pos, neg, control=control, **kw)
+        seen = []
+        chunked = pipe.sample_latent_chunked(
+            latent, pos, neg, control=control, chunk_size=2,
+            on_chunk=lambda d, t, x: seen.append(d), **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(chunked), atol=1e-4, rtol=1e-4,
+            err_msg=sampler,
+        )
+        assert len(seen) >= 2, sampler  # actually ran in chunks
+        # the control residuals bite in the chunked path too
+        plain = pipe.sample_latent_chunked(
+            latent, pos, neg, chunk_size=2, **kw,
+        )
+        assert np.abs(np.asarray(chunked) - np.asarray(plain)).max() > 1e-7
+
+
+def test_chunked_controlnet_disables_cached_accelerators():
+    """Control runs silently downgrade DeepCache/guidance-delta in the
+    chunked path (control residuals feed the deep blocks the cached apply
+    doesn't carry) — same contract as the monolithic path."""
+    from tests.test_quant import _tiny_pipe
+
+    pipe = _tiny_pipe()
+    cn = CN.init_controlnet_params(jax.random.PRNGKey(1), TINY)
+    pos = pipe.encode_text("a cat")
+    neg = pipe.encode_text("")
+    latent = pipe.empty_latent(64, 64, 1)
+    hint = jax.random.uniform(jax.random.PRNGKey(5), (1, 256, 256, 3))
+    control = (cn, TINY, hint, 1.0)
+    kw = dict(seed=3, steps=4, cfg=7.0, sampler_name="euler_ancestral")
+    plain = pipe.sample_latent_chunked(latent, pos, neg, control=control,
+                                       chunk_size=2, **kw)
+    accel = pipe.sample_latent_chunked(latent, pos, neg, control=control,
+                                       chunk_size=2, deepcache_interval=2,
+                                       uncond_interval=2, **kw)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(accel))
+
+
 def test_pipeline_controlnet_per_sample_hints():
     """A (B,...) hint batch tiles across the 2·B CFG halves (regression:
     broadcast_to crashed for B>1)."""
