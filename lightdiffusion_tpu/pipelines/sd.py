@@ -1097,8 +1097,11 @@ class SDPipeline:
             else {"y_cond": y_cond, "y_uncond": y_uncond}
         )
         if noise_mask is not None:
+            mask = jnp.asarray(noise_mask, jnp.float32)
+            if mask.ndim == 3:
+                mask = mask[..., None]
             kwargs.update(
-                mask=noise_mask,
+                mask=mask,
                 latent_orig=latent.astype(jnp.float32),
                 noise0=noise.astype(jnp.float32),
             )
@@ -1176,10 +1179,19 @@ class SDPipeline:
             sampler_name, lambda x, s: x, jax.random.PRNGKey(0)
         ) is None
         if no_stepper:
+            if deepcache_interval > 1 or uncond_interval > 1:
+                # the cached accelerators need a fixed-step single-eval
+                # stepper — downgrade gracefully like txt2img does rather
+                # than erroring the whole (GUI) run out of sample_latent's
+                # stateful-program gate
+                log.info(
+                    "deepcache/uncond_interval unsupported for sampler %r; "
+                    "running unaccelerated", sampler_name,
+                )
             return self.sample_latent(
                 latent, positive, negative, seed=seed, steps=steps, cfg=cfg,
                 sampler_name=sampler_name, scheduler=scheduler,
-                denoise=denoise, deepcache_interval=deepcache_interval,
+                denoise=denoise,
                 cfg_cutoff=cfg_cutoff, noise_mask=noise_mask,
                 differential_diffusion=differential_diffusion,
                 sampler_options=sampler_options, control=control,

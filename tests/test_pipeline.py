@@ -336,6 +336,40 @@ def test_dpm_adaptive_per_sample_seed_contract(pipe):
         )
 
 
+def test_chunked_no_stepper_sampler_downgrades_accelerators(pipe):
+    """Multi-eval samplers (no fixed-step form) through the chunked path
+    with cached accelerators requested must downgrade gracefully — the GUI
+    can pair any sampler with the DeepCache/guidance-cache toggles, and the
+    run must not die in sample_latent's stateful-program gate."""
+    latent = pipe.empty_latent(32, 32)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    out = pipe.sample_latent_chunked(
+        latent, pos, neg, seed=0, steps=4, sampler_name="heun",
+        deepcache_interval=2, uncond_interval=2,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    # and it matches the plain (unaccelerated) run exactly
+    plain = pipe.sample_latent_chunked(
+        latent, pos, neg, seed=0, steps=4, sampler_name="heun",
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(plain))
+
+
+def test_chunked_adaptive_accepts_3d_mask(pipe):
+    """(B,h,w) masks normalize to (B,h,w,1) in the adaptive chunked path,
+    as in every other sampling entry."""
+    latent = jnp.asarray(
+        np.random.RandomState(7).randn(1, 4, 4, 4), jnp.float32
+    )
+    mask3 = jnp.ones((1, 4, 4), jnp.float32)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    out = pipe.sample_latent_chunked(
+        latent, pos, neg, seed=0, steps=4, sampler_name="dpm_adaptive",
+        noise_mask=mask3,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_chunked_deepcache_matches_monolithic(pipe):
     """DeepCache in the chunked/interruptible path: the cache threads
     through the chunk state, so the trajectory is identical to the
