@@ -108,7 +108,7 @@ _ALLOWED = {
 }
 
 
-def _resolve_preset(params: dict) -> dict:
+def _resolve_preset(params: dict, default_sampler: str) -> dict:
     """Fill accelerator knobs the request didn't pass from ``preset``
     ("fast" | "max" | "quality"; presets.PRESETS) — the same override rules
     as the CLI (frontends/cli.py apply_preset): explicit fields win,
@@ -127,8 +127,15 @@ def _resolve_preset(params: dict) -> dict:
     params = dict(params)
     del params["preset"]
     if "deepcache" not in params and "uncond_interval" not in params:
-        params["deepcache"] = dc
-        params["uncond_interval"] = ui
+        # preset-derived cached accelerators downgrade silently where they
+        # can't apply — a control_image request or a sampler without a
+        # fixed-step form (the CLI/headless do the same); only EXPLICIT
+        # deepcache/uncond_interval fields get the 400
+        if params.get("control_image") is None and _fixed_step_sampler(
+            str(params.get("sampler", default_sampler))
+        ):
+            params["deepcache"] = dc
+            params["uncond_interval"] = ui
     if "todo" not in params:
         params["todo"] = todo
     return params
@@ -295,7 +302,7 @@ class GenerationServer:
         unknown = set(params) - _ALLOWED
         if unknown:
             raise ValueError(f"unknown fields: {sorted(unknown)}")
-        params = _resolve_preset(params)
+        params = _resolve_preset(params, "euler_ancestral")
         p = {
             "prompt": str(params.get("prompt", "")),
             "negative_prompt": str(params.get("negative_prompt", "")),
@@ -409,7 +416,7 @@ class GenerationServer:
         unknown = set(params) - _ALLOWED_IMG2IMG
         if unknown:
             raise ValueError(f"unknown fields: {sorted(unknown)}")
-        params = _resolve_preset(params)
+        params = _resolve_preset(params, "dpmpp_2m_sde")
         if params.get("init_image") is None:
             raise ValueError("img2img needs init_image (base64 PNG)")
         import base64

@@ -449,6 +449,16 @@ def test_server_preset_field(pipe):
         assert p["deepcache"] == PRESETS["fast"][0]
         with pytest.raises(ValueError, match="valid presets"):
             gen._normalize({"prompt": "x", "preset": "warp"})
+        # preset-derived cached accelerators downgrade silently where they
+        # can't apply (no fixed-step form) — CLI/headless behavior; an
+        # EXPLICIT deepcache with the same sampler is still a client error
+        p = gen._normalize({"prompt": "x", "preset": "max",
+                            "sampler": "dpm_adaptive"})
+        assert (p["deepcache"], p["uncond_interval"]) == (0, 0)
+        assert p["todo"] == todo  # config-level ToDo still applies
+        with pytest.raises(ValueError, match="fixed-step"):
+            gen._normalize({"prompt": "x", "deepcache": 4,
+                            "sampler": "dpm_adaptive"})
 
         # two preset-"max" requests co-batch (same group key) and generate
         results = {}
