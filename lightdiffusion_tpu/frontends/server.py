@@ -248,6 +248,26 @@ class GenerationServer:
         with self._stats_lock:
             return dict(self._stats)
 
+    def health(self) -> dict:
+        """Operational snapshot for /healthz: device, model shape, queue
+        depth, compiled-program cache occupancy, live accelerator state."""
+        import jax
+
+        cfg = self.pipe.sd.unet_config
+        return {
+            "ok": True,
+            "device": str(jax.devices()[0]),
+            "model": {
+                "model_channels": cfg.model_channels,
+                "context_dim": cfg.context_dim,
+                "adm_in_channels": cfg.adm_in_channels,
+                "todo_factor": cfg.todo_factor,
+            },
+            "queue_depth": self._queue.qsize(),
+            "programs_cached": len(self.pipe._programs),
+            "max_batch": self.max_batch,
+        }
+
     def shutdown(self):
         self._stop.set()
         self._queue.put(None)  # wake the worker
@@ -705,7 +725,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         gen: GenerationServer = self.server.generation  # type: ignore
         if self.path == "/healthz":
-            self._json(200, {"ok": True})
+            self._json(200, gen.health())
         elif self.path == "/stats":
             self._json(200, gen.stats())
         else:

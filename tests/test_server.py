@@ -522,7 +522,12 @@ def test_http_endpoints(pipe):
     base = f"http://127.0.0.1:{port}"
     try:
         with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
-            assert json.loads(r.read())["ok"] is True
+            health = json.loads(r.read())
+            assert health["ok"] is True
+            # operational snapshot: device, model shape, queue/cache state
+            assert health["model"]["model_channels"] == 32
+            assert "device" in health and "queue_depth" in health
+            assert health["max_batch"] >= 1
 
         body = json.dumps({
             "prompt": "a cat", "width": 64, "height": 64, "steps": 2,
