@@ -129,11 +129,18 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--cfg", type=float, default=6.0)
     i.add_argument("--denoise", type=float, default=0.3)
     i.add_argument("--tile", type=int, default=512)
-    i.add_argument("--deepcache", type=int, default=0, metavar="N",
+    i.add_argument("--preset", choices=("fast", "max", "quality"),
+                   default=None,
+                   help="measured accelerator stack for the tile redraw "
+                        "passes (presets.py; same table/override rules as "
+                        "txt2img --preset)")
+    i.add_argument("--deepcache", type=int, default=None, metavar="N",
                    help="DeepCache for the tile redraw passes (0 = off)")
-    i.add_argument("--uncond-interval", type=int, default=0, metavar="N",
+    i.add_argument("--uncond-interval", type=int, default=None, metavar="N",
                    help="guidance-delta caching for the tile redraw passes "
                         "(0 = off; composes with --deepcache)")
+    i.add_argument("--todo", type=int, default=None, metavar="FACTOR",
+                   help="ToDo K/V token downsampling for the redraw passes")
 
     pl = sub.add_parser("pipeline", help="reference headless pipeline (ref :10001)")
     common(pl)
@@ -395,6 +402,12 @@ def main(argv=None):
             clip_skip=args.clip_skip, random_init=args.random_init,
             mesh=_mesh_from_args(args),
         )
+        if args.preset:
+            apply_preset(args)
+        args.deepcache = args.deepcache or 0
+        args.uncond_interval = args.uncond_interval or 0
+        if args.todo:
+            pipe.set_todo(args.todo)
         img = np.asarray(Image.open(args.image).convert("RGB"), np.float32) / 255.0
         out = ultimate_sd_upscale(
             pipe, img[None], args.prompt, args.negative,

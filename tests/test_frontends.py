@@ -73,6 +73,18 @@ def test_cli_parser_pipeline_and_img2img():
     assert a.command == "pipeline" and a.number == 2
     b = build_parser().parse_args(["img2img", "x.png", "--scale", "2.5"])
     assert b.command == "img2img" and b.scale == 2.5
+    # --preset reaches img2img with the same override rules as txt2img
+    from lightdiffusion_tpu.frontends.cli import apply_preset
+
+    c = build_parser().parse_args(["img2img", "x.png", "--preset", "fast"])
+    apply_preset(c)
+    from lightdiffusion_tpu.presets import PRESETS
+
+    assert (c.deepcache, c.todo, c.uncond_interval) == PRESETS["fast"]
+    d = build_parser().parse_args(
+        ["img2img", "x.png", "--preset", "fast", "--deepcache", "0"])
+    apply_preset(d)
+    assert d.deepcache == 0 and d.uncond_interval is None  # suppressed
 
 
 def test_persistence_roundtrip(tmp_path):
