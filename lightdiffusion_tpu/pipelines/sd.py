@@ -649,6 +649,16 @@ class SDPipeline:
                 start_step=k, control=control, concat_cond=concat_cond,
                 sampler_options=sampler_options, _uncond_free=True,
             )
+        if not _uncond_free and np.isscalar(cfg) and float(cfg) == 1.0:
+            # cfg 1.0 makes the CFG combine collapse to d_cond exactly
+            # (d_u + 1·(d_c − d_u) = d_c), so the uncond half of every UNet
+            # eval is dead weight — run cond-only at batch B, not 2·B.
+            # Exact (not gated); a 2× step-rate win for guidance-free runs
+            # (LCM-style sampling). The cached CFG accelerators are
+            # superseded here (cond-only already beats what they save) and
+            # drop out, keeping the chunked path's trajectory identical.
+            _uncond_free = True
+            deepcache_interval = uncond_interval = 0
         cond = positive if isinstance(positive, jnp.ndarray) else positive[0]
         uncond = negative if isinstance(negative, jnp.ndarray) else negative[0]
         y_cond, y_uncond = self._adm_vectors(latent, positive, negative)
@@ -1225,9 +1235,14 @@ class SDPipeline:
         # cached accelerators are disabled for control runs (the control
         # residuals feed the deep blocks apply_unet_cached doesn't carry),
         # matching the monolithic path's silent downgrade
+        # cfg 1.0 collapses CFG to d_cond exactly — run cond-only at batch
+        # B (see sample_latent); works with masks (the masked wrapper sits
+        # outside the denoiser either way)
+        guidance_free = np.isscalar(cfg) and float(cfg) == 1.0
         dc = deepcache_interval if deepcache_interval > 1 and control is None \
-            else 0
-        us = uncond_interval if uncond_interval > 1 and control is None else 0
+            and not guidance_free else 0
+        us = uncond_interval if uncond_interval > 1 and control is None \
+            and not guidance_free else 0
         mask_kwargs = {}
         if noise_mask is not None:
             mask = jnp.asarray(noise_mask, jnp.float32)
@@ -1272,7 +1287,7 @@ class SDPipeline:
                 deepcache=0 if in_tail else dc,
                 uncond_interval=0 if in_tail else us,
                 has_y=y_cond is not None,
-                uncond_free=in_tail,
+                uncond_free=in_tail or guidance_free,
                 control_cfg=self._control_cfg_key(control),
                 options=opts,
             )

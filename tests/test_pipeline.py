@@ -336,6 +336,34 @@ def test_dpm_adaptive_per_sample_seed_contract(pipe):
         )
 
 
+def test_cfg_one_runs_uncond_free_and_matches_cfg_path(pipe):
+    """Scalar cfg=1.0 collapses CFG to d_cond exactly, so the pipeline runs
+    cond-only at batch B (2× step rate for guidance-free/LCM-style runs).
+    A (1,)-array cfg skips the optimization and runs the full CFG program —
+    the two must agree at fp32 (d_u + 1·(d_c − d_u) == d_c)."""
+    latent = pipe.empty_latent(32, 32)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    fast = pipe.sample_latent(latent, pos, neg, seed=5, steps=4, cfg=1.0)
+    full = pipe.sample_latent(latent, pos, neg, seed=5, steps=4,
+                              cfg=np.asarray([1.0], np.float32))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(full),
+                               atol=1e-5, rtol=1e-5)
+    # the cond-only program really is keyed uncond_free (not just equal)
+    assert any(
+        getattr(k[1], "uncond_free", False)
+        for k in pipe._programs if k[0] == "sample"
+    )
+    # chunked path follows the same guidance-free trajectory
+    chunked = pipe.sample_latent_chunked(latent, pos, neg, seed=5, steps=4,
+                                         cfg=1.0, chunk_size=2)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(chunked),
+                               atol=1e-5, rtol=1e-5)
+    # cached accelerators are superseded (not silently wrong) at cfg 1
+    accel = pipe.sample_latent(latent, pos, neg, seed=5, steps=4, cfg=1.0,
+                               deepcache_interval=2, uncond_interval=2)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(accel))
+
+
 def test_chunked_no_stepper_sampler_downgrades_accelerators(pipe):
     """Multi-eval samplers (no fixed-step form) through the chunked path
     with cached accelerators requested must downgrade gracefully — the GUI
