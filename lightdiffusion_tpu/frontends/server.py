@@ -601,6 +601,11 @@ class GenerationServer:
                     return cond
 
                 cfg = np.asarray([r.params["cfg"] for r in group], np.float32)
+                if (cfg == 1.0).all():
+                    # a scalar 1.0 dispatches the cond-only fast program
+                    # (pipelines/sd.py guidance-free path, ~1.5x e2e);
+                    # mixed-cfg groups keep the per-sample array
+                    cfg = 1.0
                 control = None
                 if p0["control_image"] is not None:
                     cn_params, cn_cfg = self.controlnet

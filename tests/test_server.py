@@ -487,6 +487,22 @@ def test_server_preset_field(pipe):
         gen.shutdown()
 
 
+def test_server_cfg_one_uses_uncond_free_program(pipe):
+    """An all-cfg-1.0 group dispatches the guidance-free cond-only program
+    (~1.5x e2e); mixed-cfg groups keep the per-sample array path."""
+    gen = GenerationServer(pipe, max_wait_ms=5.0)
+    try:
+        img = gen.submit({"prompt": "a cat", "width": 64, "height": 64,
+                          "steps": 2, "cfg": 1.0})
+        assert img.shape == (64, 64, 3) and np.isfinite(img).all()
+        assert any(
+            getattr(k[1], "uncond_free", False)
+            for k in pipe._programs if k[0] == "sample"
+        )
+    finally:
+        gen.shutdown()
+
+
 def test_server_img2img_preset_field(pipe):
     """/img2img accepts `preset` too, resolved with the same rules."""
     import base64
