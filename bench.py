@@ -177,15 +177,22 @@ def main():
         per_image, per_std = float(np.mean(times)), float(np.std(times))
         batch = 1
     cold = first_compile_s > 45.0 or init_s > 90.0
-    log(f"batch-{batch} pipelined throughput: {per_image*1000:.0f} ± "
-        f"{per_std*1000:.0f} ms/image ({per_std/per_image*100:.1f}% rsd, "
-        f"3 groups x 4 reps; first compile {first_compile_s:.0f}s, "
-        f"cache {'COLD' if cold else 'warm'})")
+    if batch == 1:
+        log(f"batch-1 per-call latency (DEGRADED fallback): "
+            f"{per_image*1000:.0f} ± {per_std*1000:.0f} ms/image "
+            f"(first compile {first_compile_s:.0f}s)")
+    else:
+        log(f"batch-{batch} pipelined throughput: {per_image*1000:.0f} ± "
+            f"{per_std*1000:.0f} ms/image ({per_std/per_image*100:.1f}% rsd, "
+            f"3 groups x 4 reps; first compile {first_compile_s:.0f}s, "
+            f"cache {'COLD' if cold else 'warm'})")
     images_per_min = 60.0 / per_image
     log(f"-> {images_per_min:.1f} images/min/chip "
         f"(±{images_per_min * per_std / per_image:.1f})")
     log(f"per-UNet-step (incl. CLIP+VAE amortized): {per_image/20*1000:.1f} ms")
-    set_headline(images_per_min)
+    set_headline(images_per_min,
+                 note=None if batch == 4 else
+                 "batch-1 per-call fallback (pipelined batch-4 failed)")
     emit_headline()  # the one required line — everything below is opt-in
 
     # Per-row wall-clock estimate: one program compile + a few runs. Cold

@@ -21,18 +21,17 @@ from ..presets import PRESETS
 
 
 def apply_preset(args) -> None:
-    """Fill accelerator knobs the user didn't pass from the preset.
-    Explicit flags win — including explicit zeros ('--preset fast --todo 0'
-    is DeepCache without ToDo), which is why the argparse defaults are None
-    rather than 0. Passing either of deepcache/uncond_interval explicitly
-    suppresses the preset's other knob (the presets are single-lever;
-    explicit flags may combine the two — they compose, pipelines/sd.py)."""
-    dc, todo, ui = PRESETS[args.preset]
-    if args.deepcache is None and args.uncond_interval is None:
-        args.deepcache = dc
-        args.uncond_interval = ui
-    if args.todo is None:
-        args.todo = todo
+    """Fill accelerator knobs the user didn't pass from the preset via the
+    shared resolver (presets.resolve — one copy of the override rules for
+    every frontend). Explicit flags win — including explicit zeros
+    ('--preset fast --todo 0' is DeepCache without ToDo), which is why the
+    argparse defaults are None rather than 0."""
+    from ..presets import resolve
+
+    args.deepcache, args.todo, args.uncond_interval = resolve(
+        args.preset, deepcache=args.deepcache,
+        uncond_interval=args.uncond_interval, todo=args.todo,
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -75,7 +74,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--hires-denoise", type=float, default=0.45)
     t.add_argument("--adetailer", action="store_true",
                    help="face/person detail passes (needs YOLO/SAM weights)")
-    t.add_argument("--preset", choices=("fast", "max", "quality"),
+    t.add_argument("--preset", choices=tuple(PRESETS),
                    default=None,
                    help="measured accelerator stacks (BENCH ledger, "
                         "SSIM-gated on-chip): fast = DeepCache-3 + ui-2 + "
@@ -129,7 +128,7 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--cfg", type=float, default=6.0)
     i.add_argument("--denoise", type=float, default=0.3)
     i.add_argument("--tile", type=int, default=512)
-    i.add_argument("--preset", choices=("fast", "max", "quality"),
+    i.add_argument("--preset", choices=tuple(PRESETS),
                    default=None,
                    help="measured accelerator stack for the tile redraw "
                         "passes (presets.py; same table/override rules as "
@@ -149,7 +148,7 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--height", type=int, default=512)
     pl.add_argument("--number", type=int, default=1)
     pl.add_argument("--no-enhance", action="store_true")
-    pl.add_argument("--preset", choices=("fast", "max", "quality"),
+    pl.add_argument("--preset", choices=tuple(PRESETS),
                     default=None,
                     help="measured accelerator stack for the whole workload "
                          "(presets.py): the dpm_adaptive base pass keeps "

@@ -162,14 +162,9 @@ class GenerationController:
         ui = 2 if guidance_cache else 0  # composes with DeepCache (sd.py)
         todo_f = 2 if todo else 0
         if preset:
-            from ..presets import PRESETS
+            from ..presets import resolve
 
-            if preset not in PRESETS:
-                raise ValueError(
-                    f"unknown preset {preset!r}; valid presets: "
-                    f"{sorted(PRESETS)}"
-                )
-            dc, todo_f, ui = PRESETS[preset]
+            dc, todo_f, ui = resolve(preset)
         if todo_f != pipe.sd.unet_config.todo_factor:
             pipe.set_todo(todo_f)
         if freeu != bool(pipe.sd.unet_config.freeu):
@@ -334,8 +329,8 @@ def main():  # pragma: no cover - needs a display
     # the server's per-request "preset"); overrides the toggles above
     preset_var = tk.StringVar(value="none")
     tk.Label(side, text="Preset (overrides toggles)").pack(anchor="w")
-    tk.OptionMenu(side, preset_var, "none", "fast", "max", "quality").pack(
-        fill="x")
+    from ..presets import PRESETS as _PRESETS
+    tk.OptionMenu(side, preset_var, "none", *_PRESETS).pack(fill="x")
 
     display = tk.Label(root, bg="#202020")
     display.pack(side="right", expand=True, fill="both")

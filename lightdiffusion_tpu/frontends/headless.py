@@ -98,14 +98,9 @@ def pipeline(
     deepcache_interval = uncond_interval = 0
     prior_todo = None
     if preset is not None:
-        from ..presets import PRESETS
+        from ..presets import resolve
 
-        if preset not in PRESETS:
-            raise ValueError(
-                f"unknown preset {preset!r}; valid presets: "
-                f"{sorted(PRESETS)}"
-            )
-        deepcache_interval, todo, uncond_interval = PRESETS[preset]
+        deepcache_interval, todo, uncond_interval = resolve(preset)
         # set unconditionally (factor 0 disables) and restore after: a
         # caller-supplied pipe must not keep this run's ToDo factor
         # (ADVICE r3 — a later preset=None run would silently inherit it)

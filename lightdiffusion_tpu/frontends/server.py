@@ -108,7 +108,8 @@ _ALLOWED = {
 }
 
 
-def _resolve_preset(params: dict, default_sampler: str) -> dict:
+def _resolve_preset(params: dict, default_sampler: str,
+                    require_fixed_step: bool = False) -> dict:
     """Fill accelerator knobs the request didn't pass from ``preset``
     ("fast" | "max" | "quality"; presets.PRESETS) — the same override rules
     as the CLI (frontends/cli.py apply_preset): explicit fields win,
@@ -117,25 +118,28 @@ def _resolve_preset(params: dict, default_sampler: str) -> dict:
     preset = params.get("preset")
     if preset is None:
         return params
-    from ..presets import PRESETS
+    from ..presets import resolve
 
-    if preset not in PRESETS:
-        raise ValueError(
-            f"unknown preset {preset!r}; valid presets: {sorted(PRESETS)}"
-        )
-    dc, todo, ui = PRESETS[preset]
+    dc, todo, ui = resolve(preset)
     params = dict(params)
     del params["preset"]
     if "deepcache" not in params and "uncond_interval" not in params:
         # preset-derived cached accelerators downgrade silently where they
-        # can't apply — a control_image request or a sampler without a
-        # fixed-step form (the CLI/headless do the same); only EXPLICIT
-        # deepcache/uncond_interval fields get the 400
-        if params.get("control_image") is None and _fixed_step_sampler(
-            str(params.get("sampler", default_sampler))
+        # can't apply (control_image; for img2img also a non-fixed-step
+        # sampler — its single sampler runs every redraw). For txt2img a
+        # non-fixed-step BASE sampler keeps them: the worker downgrades
+        # only the base pass while the hires pass (always euler_ancestral)
+        # runs the full stack, like txt2img/headless. Only EXPLICIT
+        # deepcache/uncond_interval fields get the 400.
+        fixed = _fixed_step_sampler(str(params.get("sampler",
+                                                   default_sampler)))
+        if params.get("control_image") is None and (
+            fixed or not require_fixed_step
         ):
             params["deepcache"] = dc
             params["uncond_interval"] = ui
+            if not fixed:
+                params["_accel_from_preset"] = True
     if "todo" not in params:
         params["todo"] = todo
     return params
@@ -188,7 +192,11 @@ class _Request:
                 p["scheduler"], p["control_image"] is not None,
                 p["cfg_cutoff"]) + hires + (
                 p["adetailer"], p["deepcache"], p["uncond_interval"],
-                p["todo"])
+                p["todo"],
+                # cfg==1.0 requests group apart: they always run the
+                # cond-only guidance-free program, so a request's program
+                # (and image) never depends on its co-travellers' cfg
+                p["cfg"] == 1.0)
 
 
 class GenerationServer:
@@ -382,10 +390,11 @@ class GenerationServer:
                              "be <= 1024")
         if p["cfg_cutoff"] is not None and not (0.0 < p["cfg_cutoff"] < 1.0):
             raise ValueError("cfg_cutoff must be in (0, 1)")
+        from_preset = bool(params.get("_accel_from_preset"))
         if p["deepcache"]:
             if not (2 <= p["deepcache"] <= 10):
                 raise ValueError("deepcache interval must be in [2, 10]")
-            if not _fixed_step_sampler(p["sampler"]):
+            if not _fixed_step_sampler(p["sampler"]) and not from_preset:
                 raise ValueError(
                     f"deepcache needs a fixed-step sampler, "
                     f"not {p['sampler']!r}"
@@ -400,7 +409,7 @@ class GenerationServer:
             # composes with deepcache (pipelines/sd.py dual-cache denoiser)
             if not (2 <= p["uncond_interval"] <= 10):
                 raise ValueError("uncond_interval must be in [2, 10]")
-            if not _fixed_step_sampler(p["sampler"]):
+            if not _fixed_step_sampler(p["sampler"]) and not from_preset:
                 raise ValueError(
                     f"uncond_interval needs a fixed-step sampler, "
                     f"not {p['sampler']!r}"
@@ -436,7 +445,8 @@ class GenerationServer:
         unknown = set(params) - _ALLOWED_IMG2IMG
         if unknown:
             raise ValueError(f"unknown fields: {sorted(unknown)}")
-        params = _resolve_preset(params, "dpmpp_2m_sde")
+        params = _resolve_preset(params, "dpmpp_2m_sde",
+                                 require_fixed_step=True)
         if params.get("init_image") is None:
             raise ValueError("img2img needs init_image (base64 PNG)")
         import base64
@@ -602,9 +612,10 @@ class GenerationServer:
 
                 cfg = np.asarray([r.params["cfg"] for r in group], np.float32)
                 if (cfg == 1.0).all():
-                    # a scalar 1.0 dispatches the cond-only fast program
-                    # (pipelines/sd.py guidance-free path, ~1.5x e2e);
-                    # mixed-cfg groups keep the per-sample array
+                    # cfg-1.0 requests group apart (group_key), so this
+                    # scalar collapse — which dispatches the cond-only
+                    # guidance-free program (~1.5x e2e) — fires for every
+                    # batch composition such a request can see
                     cfg = 1.0
                 control = None
                 if p0["control_image"] is not None:
@@ -622,13 +633,21 @@ class GenerationServer:
                 # changes a request's image
                 pos_s, neg_s = stack(conds), stack(unconds)
                 seeds = [r.params["seed"] for r in group]
+                # preset-derived cached accelerators on a non-fixed-step
+                # base sampler: downgrade the base pass only — the hires
+                # pass below (always euler_ancestral) keeps the stack,
+                # matching txt2img/headless (explicit fields were already
+                # validated fixed-step at submit)
+                base_fixed = _fixed_step_sampler(p0["sampler"])
                 out = pipe.sample_latent(
                     latent, pos_s, neg_s, seed=seeds,
                     steps=p0["steps"], cfg=cfg,
                     sampler_name=p0["sampler"], scheduler=p0["scheduler"],
                     control=control, cfg_cutoff=p0["cfg_cutoff"],
-                    deepcache_interval=p0["deepcache"],
-                    uncond_interval=p0["uncond_interval"],
+                    deepcache_interval=p0["deepcache"] if base_fixed else 0,
+                    uncond_interval=(
+                        p0["uncond_interval"] if base_fixed else 0
+                    ),
                 )
                 if p0["hires_fix"]:
                     # the reference's hires pass: bislerp x2 then

@@ -339,6 +339,37 @@ class SDPipeline:
         while len(self._programs) > self._programs_max:
             self._programs.popitem(last=False)
 
+    def _seed_noise(self, latent, seed, disable_noise=False, make_noise=True):
+        """(initial noise | None, sampler PRNG key) for an int seed or a
+        sequence of B per-sample seeds (serving semantics: each sample's
+        initial AND per-step noise depend on its own seed only, so any
+        batch composition reproduces the solo image — noise.keys_for)."""
+        from ..diffusion.noise import keys_for
+
+        per_sample = not isinstance(seed, (int, np.integer))
+        if per_sample:
+            seeds = [int(s) for s in seed]
+            if len(seeds) != latent.shape[0]:
+                raise ValueError(
+                    f"{len(seeds)} seeds for batch {latent.shape[0]}"
+                )
+        rng = keys_for(seeds if per_sample else seed)
+        if not make_noise:
+            return None, rng
+        if disable_noise:
+            noise = jnp.zeros_like(latent, dtype=jnp.float32)
+        elif per_sample:
+            noise = jnp.concatenate(
+                [
+                    prepare_noise(latent[i : i + 1].astype(jnp.float32), s)
+                    for i, s in enumerate(seeds)
+                ],
+                axis=0,
+            )
+        else:
+            noise = prepare_noise(latent.astype(jnp.float32), seed)
+        return noise, rng
+
     def _control_cfg_key(self, control):
         """Static ControlNet encoder config for SampleConfig. Mesh programs
         pin the XLA attention path (Pallas doesn't partition under GSPMD,
@@ -693,29 +724,11 @@ class SDPipeline:
             options=tuple(sorted((sampler_options or {}).items())),
         )
         program = self._sample_program(cfg_key, sigmas.tobytes(), step_offset=lo)
-        from ..diffusion.noise import keys_for
-
-        per_sample = not isinstance(seed, (int, np.integer))
-        if per_sample:
-            seeds = [int(s) for s in seed]
-            if len(seeds) != latent.shape[0]:
-                raise ValueError(
-                    f"{len(seeds)} seeds for batch {latent.shape[0]}"
-                )
-        rng = keys_for(seeds if per_sample else seed)
+        default_noise, rng = self._seed_noise(
+            latent, seed, disable_noise, make_noise=noise is None
+        )
         if noise is None:
-            if disable_noise:
-                noise = jnp.zeros_like(latent, dtype=jnp.float32)
-            elif per_sample:
-                noise = jnp.concatenate(
-                    [
-                        prepare_noise(latent[i : i + 1].astype(jnp.float32), s)
-                        for i, s in enumerate(seeds)
-                    ],
-                    axis=0,
-                )
-            else:
-                noise = prepare_noise(latent.astype(jnp.float32), seed)
+            noise = default_noise
         args = [
             self.sd.unet_params, self._shard_batch(noise),
             self._shard_batch(latent), self._shard_batch(cond),
@@ -1053,28 +1066,12 @@ class SDPipeline:
         import math as _math
 
         from ..diffusion import samplers as S
-        from ..diffusion.noise import keys_for
 
         ms = self.sd.model_sampling
         sigmas = SMP.sigmas_for(ms, scheduler, steps, denoise)
         if sigmas.shape[0] <= 1:
             return latent
-        per_sample = not isinstance(seed, (int, np.integer))
-        if per_sample:
-            seeds = [int(s) for s in seed]
-            if len(seeds) != latent.shape[0]:
-                raise ValueError(
-                    f"{len(seeds)} seeds for batch {latent.shape[0]}"
-                )
-            noise = jnp.concatenate(
-                [
-                    prepare_noise(latent[i : i + 1].astype(jnp.float32), s)
-                    for i, s in enumerate(seeds)
-                ],
-                axis=0,
-            )
-        else:
-            noise = prepare_noise(latent.astype(jnp.float32), seed)
+        noise, rng = self._seed_noise(latent, seed)
         max_denoise = _math.isclose(
             float(sigmas[0]), float(ms.sigma_max), rel_tol=1e-3
         ) or float(sigmas[0]) > float(ms.sigma_max)
@@ -1100,7 +1097,6 @@ class SDPipeline:
                                             seg_iters=seg_iters)
         carry = init(x)
         max_steps = 200
-        rng = keys_for(seeds if per_sample else seed)
         args = (self.sd.unet_params, cond, uncond, jnp.float32(cfg))
         kwargs = (
             {} if y_cond is None
@@ -1213,7 +1209,7 @@ class SDPipeline:
         if sigmas.shape[0] == 0:
             return latent
         n = sigmas.shape[0] - 1
-        noise = prepare_noise(latent.astype(jnp.float32), seed)
+        noise, rng = self._seed_noise(latent, seed)
         max_denoise = _math.isclose(
             float(sigmas[0]), float(ms.sigma_max), rel_tol=1e-3
         ) or float(sigmas[0]) > float(ms.sigma_max)
@@ -1257,7 +1253,9 @@ class SDPipeline:
             {} if y_cond is None
             else {"y_cond": y_cond, "y_uncond": y_uncond}
         )
-        rng = jax.random.PRNGKey(seed)
+        # hoisted: rebuilding these per chunk would re-upload the full-res
+        # hint tensor every few steps of a control-guided interruptible run
+        ctrl_kwargs = self._control_kwargs(control)
         state = ()
         if dc:
             state = jnp.zeros(
@@ -1300,7 +1298,7 @@ class SDPipeline:
             x, aux, state_out = program(
                 self.sd.unet_params, x, aux, cond, uncond, jnp.float32(cfg),
                 rng, idx, lo, hi, state if stateful else (),
-                **mask_kwargs, **y_kwargs, **self._control_kwargs(control),
+                **mask_kwargs, **y_kwargs, **ctrl_kwargs,
             )
             if stateful:
                 state = state_out

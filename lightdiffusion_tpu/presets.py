@@ -19,3 +19,24 @@ PRESETS = {
     "max": (4, 4, 2),
     "quality": (0, 0, 2),
 }
+
+
+def resolve(preset: str, *, deepcache: int | None = None,
+            uncond_interval: int | None = None, todo: int | None = None):
+    """(deepcache, todo, uncond_interval) for a named preset under the
+    override rules every frontend shares: explicit values win — including
+    explicit zeros — and passing either of deepcache/uncond_interval
+    suppresses the preset's other knob (the measured stacks are tuned as a
+    unit; explicit values may still combine the two, they compose).
+    Raises ValueError naming the valid presets for unknown names."""
+    if preset not in PRESETS:
+        raise ValueError(
+            f"unknown preset {preset!r}; valid presets: {sorted(PRESETS)}"
+        )
+    dc, td, ui = PRESETS[preset]
+    if deepcache is not None or uncond_interval is not None:
+        dc = deepcache if deepcache is not None else 0
+        ui = uncond_interval if uncond_interval is not None else 0
+    if todo is not None:
+        td = todo
+    return dc, td, ui

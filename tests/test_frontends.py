@@ -84,7 +84,8 @@ def test_cli_parser_pipeline_and_img2img():
     d = build_parser().parse_args(
         ["img2img", "x.png", "--preset", "fast", "--deepcache", "0"])
     apply_preset(d)
-    assert d.deepcache == 0 and d.uncond_interval is None  # suppressed
+    # explicit deepcache suppresses the preset's other knob
+    assert d.deepcache == 0 and not d.uncond_interval
 
 
 def test_persistence_roundtrip(tmp_path):

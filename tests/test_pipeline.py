@@ -364,6 +364,33 @@ def test_cfg_one_runs_uncond_free_and_matches_cfg_path(pipe):
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(accel))
 
 
+def test_chunked_fixed_step_per_sample_seeds(pipe):
+    """Per-sample seed lists through the fixed-step chunked path (review
+    finding r4: it used to crash in jax.random.PRNGKey([3,7]) while the
+    adaptive branch supported lists): matches the monolithic per-sample
+    program exactly at fp32, and each sample's trajectory is its own."""
+    latent = pipe.empty_latent(32, 32, 2)
+    pos, neg = pipe.encode_text("cat"), pipe.encode_text("")
+    mono = pipe.sample_latent(latent, pos, neg, seed=[3, 7], steps=4)
+    chunked = pipe.sample_latent_chunked(latent, pos, neg, seed=[3, 7],
+                                         steps=4, chunk_size=2)
+    np.testing.assert_array_equal(np.asarray(mono), np.asarray(chunked))
+    # per-sample independence: sample 0 matches its solo chunked run.
+    # B=1 and B=2 compile different programs whose fp32 accumulation
+    # differs slightly; the tiny random-init UNet amplifies that to ~1e-3
+    # relative on |x|~30 activations (same tolerance class as the
+    # serving cross-shape contract) — the seeds being per-sample is what
+    # is asserted, not bitwise cross-shape equality.
+    solo = pipe.sample_latent_chunked(
+        pipe.empty_latent(32, 32, 1), pos, neg, seed=[3], steps=4,
+        chunk_size=2,
+    )
+    np.testing.assert_allclose(np.asarray(solo)[0], np.asarray(chunked)[0],
+                               atol=1e-2, rtol=1e-2)
+    # and the two samples really ran different seeds
+    assert np.abs(np.asarray(chunked)[0] - np.asarray(chunked)[1]).max() > 1e-3
+
+
 def test_chunked_no_stepper_sampler_downgrades_accelerators(pipe):
     """Multi-eval samplers (no fixed-step form) through the chunked path
     with cached accelerators requested must downgrade gracefully — the GUI

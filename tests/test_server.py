@@ -449,16 +449,23 @@ def test_server_preset_field(pipe):
         assert p["deepcache"] == PRESETS["fast"][0]
         with pytest.raises(ValueError, match="valid presets"):
             gen._normalize({"prompt": "x", "preset": "warp"})
-        # preset-derived cached accelerators downgrade silently where they
-        # can't apply (no fixed-step form) — CLI/headless behavior; an
-        # EXPLICIT deepcache with the same sampler is still a client error
+        # preset-derived cached accelerators survive a non-fixed-step BASE
+        # sampler (the worker downgrades the base pass only; the hires pass
+        # keeps the stack, like txt2img/headless) — while an EXPLICIT
+        # deepcache with the same sampler is still a client error
         p = gen._normalize({"prompt": "x", "preset": "max",
                             "sampler": "dpm_adaptive"})
-        assert (p["deepcache"], p["uncond_interval"]) == (0, 0)
+        assert (p["deepcache"], p["uncond_interval"]) == (dc, ui)
         assert p["todo"] == todo  # config-level ToDo still applies
         with pytest.raises(ValueError, match="fixed-step"):
             gen._normalize({"prompt": "x", "deepcache": 4,
                             "sampler": "dpm_adaptive"})
+        # ...and such a request actually generates (base pass downgraded)
+        img = gen.submit({"prompt": "a cat", "width": 64, "height": 64,
+                          "steps": 3, "sampler": "dpm_adaptive",
+                          "preset": "max", "hires_fix": True,
+                          "hires_steps": 2})
+        assert img.shape == (128, 128, 3) and np.isfinite(img).all()
 
         # two preset-"max" requests co-batch (same group key) and generate
         results = {}
