@@ -5,9 +5,14 @@ Baseline: the reference's stable-fast CUDA path (README claims ~1.7× over
 torch; commonly ~2 s/image for SD1.5 20 steps ⇒ 30 images/min/chip). We
 report images/min/chip; vs_baseline = value / 30.
 
-Driver-survivability contract (VERDICT r3 #1/#2):
-- The headline JSON prints IMMEDIATELY after the batch-4 pipelined
-  measurement — every other row is opt-in diagnostics that follow it.
+Driver-survivability contract (VERDICT r4 #1 — supersedes the r3 contract):
+- The headline JSON prints EARLY (immediately after the batch-4 pipelined
+  measurement, as timeout insurance) AND is re-printed UNCONDITIONALLY as
+  the LAST line of every run (end of main + atexit + signal handler).
+  Duplicates are harmless; the driver parses the tail of the output, so
+  absence from the final window is the only failure mode (r3 timed out
+  before its end-only print; r4 completed but its early-only print fell
+  outside the ~2000-char parse tail — both lost the number).
 - A SIGTERM/SIGINT or interpreter exit flushes the best-available headline
   (pipelined if measured, else batch-1-derived) before dying, so even a
   hard driver timeout leaves the JSON on stdout.
@@ -15,6 +20,8 @@ Driver-survivability contract (VERDICT r3 #1/#2):
   row; each skipped row is named on stderr. A cold XLA cache (detected via
   the first compile) raises the per-row cost estimates so the gate errs
   toward skipping.
+- The final JSON also carries roofline attribution (unet_tflops / mfu,
+  VERDICT r4 #6) when the MFU probe ran within budget.
 
 Runs with random weights (no checkpoints exist in this environment) — FLOPs
 and memory traffic are weight-independent, so throughput is representative.
@@ -65,7 +72,12 @@ def allow(name, est_s):
 
 
 # ---- headline flush-on-exit machinery ----
-_headline = {"value": None, "note": None, "emitted": False}
+# NO emit-once guard: the JSON must appear EARLY (timeout insurance) and as
+# the FINAL line of the process (the driver parses the output tail —
+# VERDICT r4 #1). emit_headline() therefore prints every time it is called;
+# `extras` (MFU attribution) measured after the early print still lands in
+# the final copies.
+_headline = {"value": None, "note": None, "extras": {}}
 
 
 def set_headline(images_per_min, note=None):
@@ -74,15 +86,15 @@ def set_headline(images_per_min, note=None):
 
 
 def emit_headline():
-    if _headline["emitted"] or _headline["value"] is None:
+    if _headline["value"] is None:
         return
-    _headline["emitted"] = True
     rec = {
         "metric": "sd15_512x512_20step_txt2img_throughput",
         "value": round(_headline["value"], 2),
         "unit": "images/min/chip",
         "vs_baseline": round(_headline["value"] / 30.0, 3),
     }
+    rec.update(_headline["extras"])
     if _headline["note"]:
         rec["note"] = _headline["note"]
     print(json.dumps(rec), flush=True)
@@ -193,11 +205,57 @@ def main():
     set_headline(images_per_min,
                  note=None if batch == 4 else
                  "batch-1 per-call fallback (pipelined batch-4 failed)")
-    emit_headline()  # the one required line — everything below is opt-in
+    emit_headline()  # EARLY copy (timeout insurance) — re-printed at exit
 
     # Per-row wall-clock estimate: one program compile + a few runs. Cold
     # compiles through the remote helper measured 30-165s in r3.
     row_est = 240.0 if cold else 60.0
+
+    # ---- MFU probe (VERDICT r4 #6): counted-TFLOP/s for the UNet eval at
+    # the headline's CFG batch (2·4=8), the scratch/sd15_unet_roofline.py
+    # method — cost_analysis FLOPs ÷ pipelined per-eval time. Lands in the
+    # FINAL headline JSON copies via _headline["extras"]. ----
+    if batch == 4 and allow("MFU probe", 150.0 if cold else 40.0):
+        try:
+            from lightdiffusion_tpu.models import unet as U
+            from lightdiffusion_tpu.runtime.profiling import cost_analysis
+
+            uparams = jax.tree.map(
+                lambda a: a.astype(L.BF16.param_dtype), pipe.sd.unet_params)
+            ucfg = pipe.sd.unet_config
+            b2 = 2 * batch  # cond+uncond CFG batch of the headline program
+            kp = jax.random.PRNGKey(7)
+            ux = jax.random.normal(kp, (b2, 64, 64, 4), jnp.float32)
+            ut = jnp.full((b2,), 500.0, jnp.float32)
+            uctx = jax.random.normal(kp, (b2, 77, 768), jnp.float32) * 0.3
+
+            @jax.jit
+            def unet_eval(x, params, ctx):
+                return U.apply_unet(
+                    params, x, ut, ctx, cfg=ucfg, policy=L.BF16
+                ).astype(jnp.float32)
+
+            fl = float(cost_analysis(unet_eval, ux, uparams, uctx)["flops"])
+            y = unet_eval(ux, uparams, uctx)
+            float(np.asarray(y.ravel()[0]))  # warm
+            reps = 50
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                y = unet_eval(ux, uparams, uctx)  # queue back-to-back
+            float(np.asarray(y.ravel()[0]))  # one sync
+            per_eval = (time.perf_counter() - t0) / reps
+            tfs = fl / per_eval / 1e12
+            mfu = tfs / 197.0  # v5e bf16 MXU peak
+            log(f"MFU probe: {fl/1e12:.3f} TFLOP/eval (CFG batch {b2}), "
+                f"{per_eval*1000:.2f} ms/eval -> {tfs:.1f} TF/s, "
+                f"MFU {mfu:.3f} (v5e bf16 peak 197)")
+            _headline["extras"] = {
+                "unet_tflops": round(tfs, 1), "mfu": round(mfu, 3)}
+            del uparams, ux, uctx, y
+            gc.collect()
+        except Exception as e:
+            log(f"MFU probe failed: {e}")
+            gc.collect()
 
     # ---- single-image latency (the <1s/image target) ----
     if allow("batch-1 latency", row_est):
@@ -354,6 +412,113 @@ def main():
         except Exception as e:
             log(f"cross-shape check failed: {e}")
 
+    # ---- the reference's real default workloads (VERDICT r4 #3): the
+    # remaining BASELINE.json configs as recorded rows. Each warms once
+    # (compiles) then times 2 reps. They use `pipe`, so they run BEFORE the
+    # int8 row (quantize_unet replaces the param tree). ----
+
+    def workload_row(name, fn, est):
+        """Warm once, time 2 reps of fn(seed) -> wall s/image rows."""
+        if not allow(name, est):
+            return
+        try:
+            t0 = time.perf_counter()
+            fn(0)
+            warm_s = time.perf_counter() - t0
+            times = []
+            for i in range(2):
+                t0 = time.perf_counter()
+                fn(i + 1)
+                times.append(time.perf_counter() - t0)
+            m = float(np.mean(times))
+            log(f"{name}: {m:.2f} ± {float(np.std(times)):.2f} s/image "
+                f"({60.0/m:.1f} img/min/chip; warm+compile {warm_s:.0f}s)")
+        except Exception as e:
+            log(f"{name} failed ({type(e).__name__}: {e})")
+            gc.collect()
+
+    # (a) ref-default txt2img+hires (ref :10048-10078): dpm_adaptive-40
+    # karras → bislerp ×2 → euler_ancestral-10 @0.45 cfg 8 → 1024² decode.
+    # Re-pins NOTES_ROUND3's 3.53 s/img scratch number as a tracked row.
+    workload_row(
+        "ref-default txt2img+hires (dpm_adaptive-40 + bislerp x2 + "
+        "euler_ancestral-10 @0.45, 512->1024)",
+        lambda seed: txt2img(
+            pipe, kwargs["prompt"], kwargs["negative_prompt"],
+            width=512, height=512, steps=40, cfg=7.0, seed=seed,
+            sampler_name="dpm_adaptive", scheduler="karras", batch=1,
+            hires_fix=True, hires_steps=10, hires_denoise=0.45,
+            hires_cfg=8.0,
+        ),
+        420.0 if cold else 150.0,
+    )
+
+    # (b) USDU img2img (ref :10392-10417): random-init RealESRGAN-x4plus
+    # topology ×4 pre-pass → ×2 canvas → 512² tiles dpmpp_2m_sde-8 @0.3,
+    # Half Tile seam fix — the reference's img2img surface, on a synthetic
+    # input (FLOPs/traffic are content-independent).
+    def usdu_workload():
+        from lightdiffusion_tpu.models.esrgan import (
+            ESRGANConfig, init_esrgan_params)
+        from lightdiffusion_tpu.postprocess.usdu import ultimate_sd_upscale
+
+        ecfg = ESRGANConfig(num_blocks=23, num_feat=64, scale=4)
+        ep = init_esrgan_params(jax.random.PRNGKey(5), ecfg)
+        src = np.asarray(
+            jax.random.uniform(jax.random.PRNGKey(6), (1, 512, 512, 3)),
+            np.float32)
+
+        def run(seed):
+            ultimate_sd_upscale(
+                pipe, src, kwargs["prompt"], kwargs["negative_prompt"],
+                upscale_by=2.0, steps=8, cfg=6.0, denoise=0.3,
+                sampler_name="dpmpp_2m_sde", scheduler="karras",
+                esrgan=(ep, ecfg), seed=seed,
+            )
+        return run
+
+    if allow("USDU img2img workload", 420.0 if cold else 150.0):
+        try:
+            workload_row(
+                "USDU img2img (ESRGAN x4 pre-pass + 512px tiles "
+                "dpmpp_2m_sde-8 @0.3 + Half Tile seams, 512->1024)",
+                usdu_workload(), 0.0)
+        except Exception as e:
+            log(f"USDU workload setup failed ({type(e).__name__}: {e})")
+
+    # (c) detailer-style masked per-seg pass (ref :9208-9352): random-weight
+    # YOLO can't detect, so the SEGs are fixtured — two face-sized boxes →
+    # crop ×3 → guide-512 masked denoise @0.5, pasted back feathered.
+    def detailer_workload():
+        from lightdiffusion_tpu.postprocess.detailer import (
+            bboxes_to_segs, detail_segs)
+
+        src = np.asarray(
+            jax.random.uniform(jax.random.PRNGKey(8), (512, 512, 3)),
+            np.float32)
+        segs = bboxes_to_segs(
+            src, np.array([[96., 96., 224., 224.], [288., 256., 416., 384.]]),
+            np.array([0.9, 0.85]), ["face", "face"])
+        pos = pipe.encode_text(kwargs["prompt"])
+        neg = pipe.encode_text(kwargs["negative_prompt"])
+
+        def run(seed):
+            detail_segs(
+                pipe, src, segs, pos, neg, seed=seed, steps=20, cfg=6.5,
+                sampler_name="dpmpp_2m_sde", scheduler="karras",
+                denoise=0.5,
+            )
+        return run
+
+    if allow("detailer workload", 300.0 if cold else 120.0):
+        try:
+            workload_row(
+                "detailer masked per-seg pass (2 fixtured SEGs, guide-512 "
+                "dpmpp_2m_sde-20 @0.5)",
+                detailer_workload(), 0.0)
+        except Exception as e:
+            log(f"detailer workload setup failed ({type(e).__name__}: {e})")
+
     # int8 LAST among SD1.5 rows: quantize_unet replaces the param tree
     if allow("int8 W8A8 row", row_est):
         try:
@@ -381,6 +546,9 @@ def main():
 
     log(f"bench done in {time.perf_counter()-START:.0f}s of "
         f"{BUDGET_S:.0f}s budget")
+    # FINAL copy — the contract is "last line of the run"; the atexit hook
+    # prints one more after this, which is equally fine (tail-parse wins).
+    emit_headline()
 
 
 def bench_sdxl(cold=False):
