@@ -34,9 +34,11 @@ ASSET_CLASSES = [
 
 _extra_paths: dict[str, list[Path]] = {c: [] for c in ASSET_CLASSES}
 
-# The reference ships its CLIP tokenizer + config under _internal/; in this
-# dev environment those same public OpenAI-CLIP data files are readable at the
-# mounted reference checkout. Used as a last-resort fallback only.
+# The CLIP tokenizer data (public OpenAI clip-vit-large-patch14
+# vocab.json/merges.txt, which the reference also ships under its
+# _internal/sd1_tokenizer) is VENDORED at <repo>/_internal/sd1_tokenizer —
+# the package is self-contained. The mounted reference checkout remains a
+# last-resort fallback dir for other asset classes in this dev environment.
 _REFERENCE_INTERNAL = Path("/root/reference/_internal")
 
 
@@ -110,7 +112,21 @@ DEFAULT_ASSETS: dict[str, list[tuple[str, str]]] = {
     "loras": [("EvilEngine/add_detail", "add_detail.safetensors")],
     "embeddings": [("EvilEngine/badhandv4", "badhandv4.pt")],
     "vae_approx": [("madebyollin/taesd", "taesd_decoder.safetensors")],
+    # vendored in-repo (self-containment); listed so a wiped install can
+    # re-fetch the same public data the reference ships (ref :4892)
+    "sd1_tokenizer": [
+        ("openai/clip-vit-large-patch14", "vocab.json"),
+        ("openai/clip-vit-large-patch14", "merges.txt"),
+    ],
 }
+
+
+def _have_file(asset_class: str, name: str) -> bool:
+    try:
+        resolve_file(asset_class, name)
+        return True
+    except FileNotFoundError:
+        return False
 
 
 def ensure_downloaded(
@@ -136,11 +152,17 @@ def ensure_downloaded(
         entries = DEFAULT_ASSETS.get(cls, [])
         if not entries:
             continue
-        if list_files(cls):  # the reference's "glob is non-empty" skip
+        # the reference's "glob is non-empty" skip — any weights file
+        # satisfies the class; data-file classes (tokenizer json/txt are
+        # not weights extensions) fall through to the per-file check
+        if list_files(cls):
+            continue
+        missing = [(r, f) for (r, f) in entries if not _have_file(cls, f)]
+        if not missing:
             continue
         local = base / cls
         local.mkdir(parents=True, exist_ok=True)
-        for repo_id, filename in entries:
+        for repo_id, filename in missing:
             downloader(repo_id=repo_id, filename=filename,
                        local_dir=str(local))
         touched.append(local)
