@@ -62,6 +62,7 @@ def tiled_apply(
     b, h, w, c = images.shape
     images = np.asarray(images, np.float32)
     tile = min(tile, max(h, w))
+    overlap = min(overlap, tile // 2)  # small tiles: keep the grid stride >0
     # pad image so every tile is full-size (static shapes for the model)
     ph, pw = max(tile - h, 0), max(tile - w, 0)
     if ph or pw:
@@ -84,6 +85,10 @@ def tiled_apply(
         [images[i, y : y + tile, x : x + tile] for i in range(b) for (y, x) in coords]
     )
     n = tiles.shape[0]
+    # never pad PAST the real tile count: a 1-tile job must not balloon to
+    # a batch-4 program (4x the FLOPs and activation memory for nothing —
+    # the r5 USDU bench row OOMed exactly this way at ESRGAN x4 512px)
+    tile_batch = max(1, min(tile_batch, n))
     # pad the tile batch so every model call has the same static batch size
     pad_n = (-n) % tile_batch
     if pad_n:

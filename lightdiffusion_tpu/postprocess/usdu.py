@@ -33,11 +33,23 @@ def _round8(v: int) -> int:
     return max(8, int(round(v / 8)) * 8)
 
 
+def _esrgan_tile_batch(tile: int, scale: int, feat: int = 64,
+                       budget_bytes: float = 2.5e9) -> int:
+    """Tiles per ESRGAN program call, bounded by output-side activation
+    memory: the upsample-stage convs hold (batch, tile·scale, tile·scale,
+    feat) fp32 temps that XLA pads ~2x, so a 512px tile through a x4 model
+    costs ~2.1 GB PER TILE — batch 4 exceeds v5e HBM outright (measured:
+    16.06G requested). Small tiles (VAE-decode scale) keep batch 4."""
+    per_tile = (tile * scale) ** 2 * feat * 4 * 2
+    return max(1, min(4, int(budget_bytes // max(per_tile, 1))))
+
+
 def upscale_image(
     images: np.ndarray,
     target_w: int,
     target_h: int,
     esrgan=None,  # (params, cfg) or None
+    tile: int = 512,
 ) -> np.ndarray:
     """ESRGAN chain to ≥ target then lanczos to exact size (ref :7825-7872)."""
     b, h, w, c = images.shape
@@ -47,9 +59,11 @@ def upscale_image(
 
         params, cfg = esrgan
         while out.shape[1] < target_h or out.shape[2] < target_w:
+            t = min(tile, max(out.shape[1], out.shape[2]))
             out = tiled_apply(
-                lambda t: jnp.clip(esrgan_apply(params, t, cfg), 0, 1),
-                out, scale=cfg.scale,
+                lambda t_: jnp.clip(esrgan_apply(params, t_, cfg), 0, 1),
+                out, scale=cfg.scale, tile=t,
+                tile_batch=_esrgan_tile_batch(t, cfg.scale),
             )
             if cfg.scale == 1:
                 break

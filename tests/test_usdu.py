@@ -50,6 +50,50 @@ def test_upscale_image_lanczos_only():
     assert out.min() >= 0 and out.max() <= 1
 
 
+def test_tiled_apply_never_pads_past_tile_count():
+    """A 1-tile job must run at batch 1, not balloon to tile_batch (the
+    r5 USDU bench OOM: batch-4 512px tiles through ESRGAN x4)."""
+    from lightdiffusion_tpu.postprocess.tiling import tiled_apply
+
+    seen = []
+
+    def fn(t):
+        seen.append(t.shape[0])
+        return t
+
+    img = np.random.RandomState(0).rand(1, 16, 16, 3).astype(np.float32)
+    out = tiled_apply(fn, img, scale=1.0, tile=16, overlap=4, tile_batch=4)
+    assert seen == [1]
+    np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_esrgan_tile_batch_memory_bound():
+    """Output-side activation budget: x4 512px tiles run solo; VAE-decode
+    scale tiles keep the full batch."""
+    from lightdiffusion_tpu.postprocess.usdu import _esrgan_tile_batch
+
+    assert _esrgan_tile_batch(512, 4) == 1
+    assert _esrgan_tile_batch(384, 4) == 2
+    assert _esrgan_tile_batch(64, 8) == 4   # tiled VAE decode regime
+    assert _esrgan_tile_batch(128, 2) == 4
+
+
+def test_upscale_image_esrgan_chains_to_target():
+    """Tiny ESRGAN x2 chains twice for a x4 target and respects tile
+    batching; values stay clipped to [0,1]."""
+    import jax
+
+    from lightdiffusion_tpu.models.esrgan import (
+        ESRGANConfig, init_esrgan_params)
+
+    cfg = ESRGANConfig(num_blocks=1, num_feat=8, scale=2)
+    params = init_esrgan_params(jax.random.PRNGKey(0), cfg)
+    img = np.random.RandomState(1).rand(1, 8, 8, 3).astype(np.float32)
+    out = upscale_image(img, 32, 32, esrgan=(params, cfg), tile=8)
+    assert out.shape == (1, 32, 32, 3)
+    assert out.min() >= 0 and out.max() <= 1
+
+
 def test_usdu_end_to_end():
     from tests.test_pipeline import TINY_UNET, TINY_VAE, TINY_CLIP
     from lightdiffusion_tpu.loader.checkpoint import StableDiffusion
