@@ -44,11 +44,28 @@ SLOW_MODULES = {
     "test_checkpoint_e2e", # full-file safetensors round-trips
 }
 
+# ---- smoke tier (<5 min, VERDICT r4 #7) -----------------------------------
+# `pytest -m smoke`: pure-math + parser/tokenizer + assets + one tiny
+# pipeline e2e. The per-edit inner loop; `-m "not slow"` is the quick tier,
+# the bare suite is the full tier.
+SMOKE_MODULES = {
+    "test_schedules",  # sigma schedules / AYS math
+    "test_text",       # prompt grammar + BPE tokenizer
+    "test_ssim",       # quality-gate metric properties
+    "test_assets",     # asset resolution + self-containment
+}
+SMOKE_TESTS = {
+    "test_txt2img_end_to_end",  # one toy-scale pipeline e2e (test_pipeline)
+}
+
 import pytest  # noqa: E402
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
         # tests/ is a package, so __name__ is "tests.test_x" — match the tail
-        if item.module.__name__.rsplit(".", 1)[-1] in SLOW_MODULES:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SLOW_MODULES:
             item.add_marker(pytest.mark.slow)
+        if mod in SMOKE_MODULES or item.name in SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
