@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="tensor-parallel mesh size: Megatron-shard the "
                              "UNet's attention/MLP over N devices per dp "
                              "group (halves per-device UNet HBM at tp=2)")
+        sp.add_argument("--vae-bf16", action="store_true",
+                        help="decode in bf16 (ref's reduced-precision VAE "
+                             "policy; ~-21 ms/img at 512^2 batch 4, decode "
+                             "ssim 0.998 vs fp32)")
 
     t = sub.add_parser("txt2img", help="text → image")
     common(t)
@@ -259,7 +263,7 @@ def main(argv=None):
         pipe = load_default_pipeline(
             checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
             clip_skip=args.clip_skip, random_init=args.random_init,
-            mesh=_mesh_from_args(args),
+            mesh=_mesh_from_args(args), vae_bf16=args.vae_bf16,
         )
         warmup(pipe, batch=args.batch)
         print(f"warmup done in {time.time()-t0:.1f}s", file=sys.stderr)
@@ -270,7 +274,7 @@ def main(argv=None):
         pipe = load_default_pipeline(
             checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
             clip_skip=args.clip_skip, random_init=args.random_init,
-            mesh=_mesh_from_args(args),
+            mesh=_mesh_from_args(args), vae_bf16=args.vae_bf16,
         )
         if args.int8:
             pipe.quantize_unet()
@@ -303,14 +307,14 @@ def main(argv=None):
             pipe=None if mesh is None else load_default_pipeline(
                 checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
                 clip_skip=args.clip_skip, random_init=args.random_init,
-                mesh=mesh,
+                mesh=mesh, vae_bf16=args.vae_bf16,
             ),
         )
     elif args.command == "txt2img":
         pipe = load_default_pipeline(
             checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
             clip_skip=args.clip_skip, random_init=args.random_init,
-            mesh=_mesh_from_args(args),
+            mesh=_mesh_from_args(args), vae_bf16=args.vae_bf16,
         )
         if args.preset:
             apply_preset(args)
@@ -399,7 +403,7 @@ def main(argv=None):
         pipe = load_default_pipeline(
             checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
             clip_skip=args.clip_skip, random_init=args.random_init,
-            mesh=_mesh_from_args(args),
+            mesh=_mesh_from_args(args), vae_bf16=args.vae_bf16,
         )
         if args.preset:
             apply_preset(args)

@@ -33,13 +33,22 @@ def load_default_pipeline(
     clip_skip: int = -2,
     random_init: bool = False,
     mesh=None,
+    vae_bf16: bool = False,
 ) -> SDPipeline:
     """Load the first available checkpoint (+ add_detail LoRA if present,
     ref :10021-10031); ``random_init`` enables weightless smoke runs.
     ``mesh``: optional jax.sharding.Mesh("dp","tp") — the pipeline runs
-    SPMD (TP-sharded UNet, dp-sharded batches; parallel/mesh.py)."""
+    SPMD (TP-sharded UNet, dp-sharded batches; parallel/mesh.py).
+    ``vae_bf16``: decode in bf16 (the reference's reduced-precision VAE
+    policy on capable hardware, ref :1508-1526; measured −21 ms/img at
+    512² batch 4, decode ssim 0.998 vs fp32 — bf16 keeps the fp32
+    exponent range, so fp16's overflow hazard doesn't apply on TPU)."""
+    from ..ops import layers as L
+
+    vp = {"vae_policy": L.BF16} if vae_bf16 else {}
     if random_init:
-        return SDPipeline(CKPT.init_random(), clip_skip=clip_skip, mesh=mesh)
+        return SDPipeline(CKPT.init_random(), clip_skip=clip_skip, mesh=mesh,
+                          **vp)
     names = assets.list_files("checkpoints")
     if checkpoint is None:
         if not names:
@@ -67,7 +76,7 @@ def load_default_pipeline(
         from ..loader.native_cache import load_checkpoint_cached
 
         sd = load_checkpoint_cached(path)
-    return SDPipeline(sd, clip_skip=clip_skip, mesh=mesh)
+    return SDPipeline(sd, clip_skip=clip_skip, mesh=mesh, **vp)
 
 
 def pipeline(
