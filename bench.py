@@ -415,6 +415,36 @@ def main():
             log(f"AYS bench failed: {e}")
             gc.collect()
 
+    # AYS directional quality gate on the TOY-TRAINED fixture (VERDICT r4
+    # #5): random weights make schedule swaps unscorable, but on a trained
+    # score model different schedules converge to the same sample. This is
+    # a toy-scale mechanism gate, NOT the paper's SD1.5-scale claim.
+    if allow("AYS toy-trained gate", row_est):
+        try:
+            from pathlib import Path
+            import sys as _sys
+
+            _sys.path.insert(0, str(Path(__file__).parent))
+            from tests.fixtures.make_toy_checkpoint import load_toy_params
+            from tests.test_toy_quality import (
+                _latent_ssim, _pipe as _toy_pipe, _sample as _toy_sample,
+                smoothness)
+
+            tpipe = _toy_pipe(load_toy_params())
+            base = _toy_sample(tpipe, 20, "karras", sampler="euler")
+            ays_i = _toy_sample(tpipe, 10, "ays", sampler="euler")
+            s = _latent_ssim(base, ays_i)
+            sm_ratio = smoothness(ays_i) / max(smoothness(base), 1e-6)
+            ok = s >= 0.99 and sm_ratio < 1.5
+            log(f"  AYS-10 vs 20-step on TOY-TRAINED fixture: endpoint "
+                f"ssim {s:.4f}, on-manifold smoothness ratio "
+                f"{sm_ratio:.2f} (toy-scale mechanism gate): "
+                f"{'PASS' if ok else 'FLAGGED'}")
+            del tpipe
+            gc.collect()
+        except Exception as e:
+            log(f"AYS toy gate failed ({type(e).__name__}: {e})")
+
     # bf16 cross-shape contract: the same seed in a batch-4 program
     # (per-sample keys) must perceptually match its solo batch-1 image —
     # automated on-chip check of the recompile-divergence tolerance claims
