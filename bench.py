@@ -477,10 +477,14 @@ def main():
     # int8 row (quantize_unet replaces the param tree). ----
 
     def workload_row(name, fn, est):
-        """Warm once, time 2 reps of fn(seed) -> wall s/image rows."""
+        """Warm once, time 2 reps of fn(seed) -> wall s/image rows.
+        ``fn`` may be a zero-arg factory returning the runner (so setup
+        like ESRGAN init only happens once the budget gate passes)."""
         if not allow(name, est):
             return
         try:
+            if fn.__code__.co_argcount == 0:
+                fn = fn()
             t0 = time.perf_counter()
             fn(0)
             warm_s = time.perf_counter() - t0
@@ -536,14 +540,10 @@ def main():
             )
         return run
 
-    if allow("USDU img2img workload", 420.0 if cold else 150.0):
-        try:
-            workload_row(
-                "USDU img2img (ESRGAN x4 pre-pass + 512px tiles "
-                "dpmpp_2m_sde-8 @0.3 + Half Tile seams, 512->1024)",
-                usdu_workload(), 0.0)
-        except Exception as e:
-            log(f"USDU workload setup failed ({type(e).__name__}: {e})")
+    workload_row(
+        "USDU img2img (ESRGAN x4 pre-pass + 512px tiles "
+        "dpmpp_2m_sde-8 @0.3 + Half Tile seams, 512->1024)",
+        usdu_workload, 420.0 if cold else 150.0)
 
     # (c) detailer-style masked per-seg pass (ref :9208-9352): random-weight
     # YOLO can't detect, so the SEGs are fixtured — two face-sized boxes →
@@ -569,14 +569,10 @@ def main():
             )
         return run
 
-    if allow("detailer workload", 300.0 if cold else 120.0):
-        try:
-            workload_row(
-                "detailer masked per-seg pass (2 fixtured SEGs, guide-512 "
-                "dpmpp_2m_sde-20 @0.5)",
-                detailer_workload(), 0.0)
-        except Exception as e:
-            log(f"detailer workload setup failed ({type(e).__name__}: {e})")
+    workload_row(
+        "detailer masked per-seg pass (2 fixtured SEGs, guide-512 "
+        "dpmpp_2m_sde-20 @0.5)",
+        detailer_workload, 300.0 if cold else 120.0)
 
     # int8 LAST among SD1.5 rows: quantize_unet replaces the param tree
     if allow("int8 W8A8 row", row_est):

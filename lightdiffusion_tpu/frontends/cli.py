@@ -303,7 +303,7 @@ def main(argv=None):
         pipeline(
             args.prompt, args.width, args.height, args.number,
             enhance=not args.no_enhance, random_init=args.random_init,
-            seed=args.seed, preset=args.preset,
+            seed=args.seed, preset=args.preset, vae_bf16=args.vae_bf16,
             pipe=None if mesh is None else load_default_pipeline(
                 checkpoint=args.checkpoint, loras=_parse_loras(args.lora),
                 clip_skip=args.clip_skip, random_init=args.random_init,

@@ -90,6 +90,7 @@ def pipeline(
     seed: int = 0,
     random_init: bool = False,
     preset: str | None = None,
+    vae_bf16: bool = False,
 ) -> np.ndarray:
     """(ref :10001) Returns the final images (B,H,W,3) in [0,1].
 
@@ -101,7 +102,8 @@ def pipeline(
     pass runs the full stack. Beyond the reference, whose headless entry
     has no accelerator surface at all (:10001-10087)."""
     if pipe is None:
-        pipe = load_default_pipeline(random_init=random_init)
+        pipe = load_default_pipeline(random_init=random_init,
+                                     vae_bf16=vae_bf16)
     if enhance:
         prompt = enhance_prompt(prompt)
     deepcache_interval = uncond_interval = 0

@@ -243,11 +243,15 @@ class ImageUpscaleWithModel:
     def upscale(self, upscale_model, image, tile: int = 512, overlap: int = 32):
         from .models.esrgan import esrgan_apply
         from .postprocess.tiling import tiled_apply
+        from .postprocess.usdu import _esrgan_tile_batch
 
         params, cfg = upscale_model
         out = tiled_apply(
             lambda t: jnp.clip(esrgan_apply(params, t, cfg), 0, 1),
             np.asarray(image), scale=cfg.scale, tile=tile, overlap=overlap,
+            # bound tiles/call by output-side activation memory (x4 512px
+            # tiles at batch 4 request ~16 GB and OOM v5e — see usdu.py)
+            tile_batch=_esrgan_tile_batch(tile, cfg.scale, cfg.num_feat),
         )
         return (out,)
 

@@ -62,7 +62,11 @@ def tiled_apply(
     b, h, w, c = images.shape
     images = np.asarray(images, np.float32)
     tile = min(tile, max(h, w))
-    overlap = min(overlap, tile // 2)  # small tiles: keep the grid stride >0
+    if overlap > tile // 2:  # small tiles: keep the grid stride > 0
+        overlap = tile // 2
+        if 0 < scale < 1:  # keep overlap·scale integral (tiled VAE encode)
+            r = int(round(1 / scale))
+            overlap -= overlap % r
     # pad image so every tile is full-size (static shapes for the model)
     ph, pw = max(tile - h, 0), max(tile - w, 0)
     if ph or pw:

@@ -63,7 +63,7 @@ def upscale_image(
             out = tiled_apply(
                 lambda t_: jnp.clip(esrgan_apply(params, t_, cfg), 0, 1),
                 out, scale=cfg.scale, tile=t,
-                tile_batch=_esrgan_tile_batch(t, cfg.scale),
+                tile_batch=_esrgan_tile_batch(t, cfg.scale, cfg.num_feat),
             )
             if cfg.scale == 1:
                 break

@@ -55,7 +55,8 @@ SMOKE_MODULES = {
     "test_assets",     # asset resolution + self-containment
 }
 SMOKE_TESTS = {
-    "test_txt2img_end_to_end",  # one toy-scale pipeline e2e (test_pipeline)
+    # (module, test) — one toy-scale pipeline e2e
+    ("test_pipeline", "test_txt2img_end_to_end"),
 }
 
 import pytest  # noqa: E402
@@ -67,5 +68,5 @@ def pytest_collection_modifyitems(config, items):
         mod = item.module.__name__.rsplit(".", 1)[-1]
         if mod in SLOW_MODULES:
             item.add_marker(pytest.mark.slow)
-        if mod in SMOKE_MODULES or item.name in SMOKE_TESTS:
+        if mod in SMOKE_MODULES or (mod, item.name) in SMOKE_TESTS:
             item.add_marker(pytest.mark.smoke)

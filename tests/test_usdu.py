@@ -67,6 +67,47 @@ def test_tiled_apply_never_pads_past_tile_count():
     np.testing.assert_allclose(out, img, atol=1e-6)
 
 
+def test_tiled_apply_small_input_fractional_scale():
+    """Overlap clamping on small tiles must keep overlap*scale integral
+    (tiled VAE *encode* uses scale=1/8): a 72px input clamps tile to 72
+    and overlap 64 -> 32 (multiple of 8), not 36 (-> s(36)=4.5 assert)."""
+    from lightdiffusion_tpu.postprocess.tiling import tiled_apply
+
+    img = np.random.RandomState(0).rand(1, 72, 72, 3).astype(np.float32)
+    out = tiled_apply(lambda t: t[:, ::8, ::8], img, scale=1 / 8,
+                      tile=512, overlap=64)
+    assert out.shape == (1, 9, 9, 3)
+
+
+def test_image_upscale_node_bounds_tile_batch(monkeypatch):
+    """The node surface (ref :7356) must apply the same activation-memory
+    bound as usdu.upscale_image — x4 512px tiles run solo."""
+    import lightdiffusion_tpu.postprocess.tiling as TL
+    from lightdiffusion_tpu.models.esrgan import (
+        ESRGANConfig, init_esrgan_params)
+    from lightdiffusion_tpu.nodes import ImageUpscaleWithModel
+
+    seen = {}
+    real = TL.tiled_apply
+
+    def spy(fn, images, scale, **kw):
+        seen.update(kw)
+        return real(fn, images, scale, **kw)
+
+    monkeypatch.setattr(TL, "tiled_apply", spy)
+    import lightdiffusion_tpu.nodes as N
+    cfg = ESRGANConfig(num_blocks=1, num_feat=8, scale=4)
+    params = init_esrgan_params(jax.random.PRNGKey(0), cfg)
+    img = np.random.RandomState(1).rand(1, 16, 16, 3).astype(np.float32)
+    (out,) = ImageUpscaleWithModel().upscale((params, cfg), img)
+    assert out.shape == (1, 64, 64, 3)
+    # num_feat=8 is tiny -> full batch allowed; the bound kwarg must be set
+    assert seen.get("tile_batch") == 4
+    # and at RealESRGAN width the 512px x4 regime is batch-1
+    from lightdiffusion_tpu.postprocess.usdu import _esrgan_tile_batch
+    assert _esrgan_tile_batch(512, 4, 64) == 1
+
+
 def test_esrgan_tile_batch_memory_bound():
     """Output-side activation budget: x4 512px tiles run solo; VAE-decode
     scale tiles keep the full batch."""
